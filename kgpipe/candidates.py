@@ -1,0 +1,85 @@
+"""Candidate generation (SURVEY.md §2.2 P11, §2.4 J5, §2.6 W3).
+
+Reference semantics (GENRE/scripts_mgenre/evaluate_kilt_dataset.py:63-105):
+normalize the mention (NFKD, Hanzi-simplify, dot-variants → ·), look up
+mention→{QID:count}, optionally union the lowercased lookup with counts
+summed, sort by count desc, cap at max_candidates.
+
+Spark-first: the dict lookup becomes a broadcast hash join against the
+`mention_counts` dim; the sort+cap becomes a per-mention window top-k.
+Deterministic tiebreak (the reference inherits dict order): count desc,
+then numeric QID asc.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from kgpipe.kb import qid_num
+
+try:  # Hanzi simplification is environment-gated; identity fallback.
+    from hanziconv import HanziConv  # pragma: no cover
+
+    _to_simplified = HanziConv.toSimplified  # pragma: no cover
+except ImportError:
+    def _to_simplified(s: str) -> str:
+        return s
+
+
+def normalize_mention(text: str) -> str:
+    """P11 mention normalization (preprocess_mention_dicts.py:97-104)."""
+    return (
+        unicodedata.normalize("NFKD", _to_simplified(text))
+        .replace("•", "·")
+        .replace("．", "·")
+    )
+
+
+@F.pandas_udf(StringType())
+def normalize_mention_udf(col: pd.Series) -> pd.Series:
+    return col.map(normalize_mention)
+
+
+def generate_candidates(
+    mentions: DataFrame,
+    mention_counts: DataFrame,
+    max_candidates: int = 8,
+    candidates_lowercase: bool = True,
+) -> DataFrame:
+    """mentions(mention_id, text, ...) → (mention_id, qid, cnt, cand_rank).
+
+    Plan shape: two broadcast joins (exact + lowercased key), union,
+    partial-aggregated groupBy on (mention_id, qid), then a per-mention
+    window top-k. The only shuffle is the groupBy on mention_id — the
+    natural key, already well-distributed.
+    """
+    m = mentions.withColumn("norm_mention", normalize_mention_udf(F.col("text")))
+    mc = F.broadcast(mention_counts)
+
+    exact = m.join(mc, m["norm_mention"] == mc["mention"], "inner").select(
+        "mention_id", "qid", "cnt"
+    )
+    if candidates_lowercase:
+        lowered = m.join(
+            mc, F.lower(m["norm_mention"]) == mc["mention"], "inner"
+        ).select("mention_id", "qid", "cnt")
+        # multiset union with counts summed (evaluate_kilt_dataset.py:76-83);
+        # when norm_mention is already lowercase both probes hit the same
+        # rows and the count doubles — same as the reference's `+=`.
+        unioned = exact.unionByName(lowered)
+    else:
+        unioned = exact
+
+    summed = unioned.groupBy("mention_id", "qid").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("cnt").desc(), qid_num(F.col("qid")).asc()
+    )
+    return (
+        summed.withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= max_candidates)
+    )

@@ -1,0 +1,174 @@
+"""Deduplication operators for training-data pipelines: exact,
+shingle-Jaccard, MinHash+LSH, SimHash.
+
+All hash functions are explicit integer arithmetic over a deterministic
+token-id dictionary (build_token_ids) — no engine-specific hash builtins
+— so every operator is reproducible bit-for-bit in any SQL engine (the
+DuckDB oracle runs the same formulas).
+
+Scale notes: exact dedup is one groupBy on a 64-bit digest; MinHash
+signatures are one explode+groupBy per doc (map-side combinable);
+LSH banding turns the quadratic pair search into an equi-join on band
+keys. Shingle-Jaccard prunes candidate pairs through rare shingles
+(document frequency cap) before the exact pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (a, b) parameters for the 8 universal hashes h_j(x) = (a·x + b) mod P
+MINHASH_P = 8191
+MINHASH_PARAMS = [
+    (2971, 433), (1583, 1223), (3319, 2741), (4219, 761),
+    (5431, 3571), (6247, 89), (7001, 4999), (911, 6151),
+]
+SIMHASH_BITS = 16
+SIMHASH_A = 1103515245
+SIMHASH_B = 12345
+SIMHASH_M = 2147483648
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text, keep_id = min doc_id, n_dups)."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-gram shingles via sequence+
+    transform — JVM-side, no UDF."""
+    t = df.withColumn("tokens", F.split("text", " "))
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tokens") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(tokens) - {n}),"
+                    f" i -> concat_ws(' ', slice(tokens, i + 1, {n})))"
+                ),
+            ).otherwise(F.array(F.col("text"))),
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                  max_df: int = 3) -> DataFrame:
+    """Near-dup pairs by exact shingle Jaccard, with candidate pruning
+    through rare shingles (document frequency ≤ max_df) — the join-side
+    guard that keeps the pair space linear under a tiny vocabulary.
+    Both docs of a reported pair satisfy |A∩B| / |A∪B| ≥ threshold."""
+    sh = shingles(df, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df),
+        "shingle",
+    )
+    cand = (
+        rare.alias("l")
+        .join(rare.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, token_ids: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature over distinct token ids:
+    minh_j = min_j (a_j·id + b_j) mod P. Returns doc_id + minh_0..minh_7
+    + 4 band keys (bands of 2 → LSH buckets)."""
+    toks = (
+        df.withColumn("tokens", F.split("text", " "))
+        .select("doc_id", F.explode(F.array_distinct("tokens")).alias("token"))
+        .join(F.broadcast(token_ids.select("token", "token_id")), "token")
+    )
+    aggs = [
+        F.min((F.col("token_id") * a + b) % MINHASH_P).alias(f"minh_{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    sig = toks.groupBy("doc_id").agg(*aggs)
+    for band in range(4):
+        sig = sig.withColumn(
+            f"band_{band}",
+            F.col(f"minh_{2 * band}") * MINHASH_P + F.col(f"minh_{2 * band + 1}"),
+        )
+    return sig
+
+
+def minhash_lsh_pairs(df: DataFrame, token_ids: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band key. The quadratic
+    all-pairs search becomes 4 equi-joins on band buckets."""
+    sig = minhash_signatures(df, token_ids).cache()
+    pairs = None
+    for band in range(4):
+        b = sig.select("doc_id", F.col(f"band_{band}").alias("bk"))
+        p = (
+            b.alias("l").join(b.alias("r"), "bk")
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash(df: DataFrame, token_ids: DataFrame,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over token multiset: bit_k = sign of
+    Σ_tokens cnt·(2·bit_k(h(id)) − 1), h(id) = (A·id + B) mod M.
+    Returns (doc_id, simhash bigint)."""
+    toks = (
+        df.withColumn("tokens", F.split("text", " "))
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .join(F.broadcast(token_ids.select("token", "token_id")), "token")
+        .withColumn(
+            "h",
+            (F.col("token_id").cast("long") * SIMHASH_A + SIMHASH_B) % SIMHASH_M,
+        )
+    )
+    bit_sums = [
+        F.sum(
+            2 * ((F.col("h") / F.lit(2 ** k)).cast("long") % 2) - 1
+        ).alias(f"s_{k}")
+        for k in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for k in range(bits):
+        term = F.when(F.col(f"s_{k}") > 0, F.lit(2 ** k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

@@ -1,0 +1,784 @@
+"""Driver-contract queries over /root/testdata parquet tables
+(__spark_entry__.py backing).
+
+Each query exercises one operator family from SURVEY.md §2 (or a
+training-data op) on the driver's generic tables, with a DuckDB oracle
+that computes the same result in ANSI SQL. All floating-point outputs
+are rounded (and cast to DOUBLE on the DuckDB side) so cross-engine
+libm/aggregation-order noise cannot flip the value hash; all hash
+functions are explicit integer arithmetic shared by both engines.
+
+`documents` doubles as the transcript stand-in:
+conv_id = source, turn_idx = row_number over (source, doc_id) − 1
+(FIXTURES.md §9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgpipe.dedup import (
+    MINHASH_P, MINHASH_PARAMS, SIMHASH_A, SIMHASH_B, SIMHASH_BITS, SIMHASH_M,
+)
+from kgpipe.kb import resolve_redirect_closure
+from kgpipe.classify import majority_vote
+from kgpipe.textstats import LANG_PROFILES, STOPWORDS
+
+LEXICON = ["spark", "join", "filter", "window", "hash", "merge", "scan"]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_transcripts(spark, sf_dir) -> DataFrame:
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.col("source").alias("conv_id"),
+            (F.row_number().over(w) - 1).alias("turn_idx"),
+            "doc_id", "text",
+        )
+    )
+
+
+TRANSCRIPTS_SQL = (
+    "SELECT source AS conv_id,"
+    " CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT)"
+    " AS turn_idx, doc_id, text FROM documents"
+)
+
+TOKEN_IDS_SQL = (
+    "SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)"
+    " AS token_id FROM (SELECT unnest(string_split(text, ' ')) AS token,"
+    " count(*) AS cnt FROM (SELECT unnest(string_split(text,' ')) AS token"
+    " FROM documents) GROUP BY 1)"
+)
+# (fixed nested form below — DuckDB needs the inner unnest first)
+TOKEN_IDS_SQL = (
+    "SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)"
+    " AS token_id FROM ("
+    "  SELECT token, count(*) AS cnt FROM ("
+    "    SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+    "  ) GROUP BY token)"
+)
+
+
+def _token_ids(spark, sf_dir) -> DataFrame:
+    from kgpipe.textstats import build_token_ids
+
+    return build_token_ids(t(spark, sf_dir, "documents")).select("token", "token_id")
+
+
+# --------------------------------------------------------------- queries
+
+def q_turn_order(spark, sf_dir):
+    """W1 stable turn ordering over the transcript stand-in."""
+    return doc_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+Q_TURN_ORDER_SQL = f"""
+SELECT conv_id, turn_idx, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM ({TRANSCRIPTS_SQL})
+"""
+
+
+def q_token_mentions(spark, sf_dir):
+    """Q1-lite mention rows: lexicon tokens with 1-based position."""
+    tr = doc_transcripts(spark, sf_dir)
+    return (
+        tr.select(
+            "conv_id", "turn_idx",
+            F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+        )
+        .filter(F.col("token").isin(LEXICON))
+        .select(
+            "conv_id", "turn_idx",
+            (F.col("pos0") + 1).cast("long").alias("pos"), "token",
+        )
+    )
+
+
+_LEX = ", ".join(f"'{w}'" for w in LEXICON)
+Q_TOKEN_MENTIONS_SQL = f"""
+SELECT conv_id, turn_idx, CAST(pos AS BIGINT) AS pos, token FROM (
+  SELECT conv_id, turn_idx,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM ({TRANSCRIPTS_SQL})
+) WHERE token IN ({_LEX})
+"""
+
+
+def q_candidates_topk(spark, sf_dir):
+    """J5/W3: per lexicon token, top-3 sources by count desc, source asc."""
+    m = q_token_mentions(spark, sf_dir)
+    counted = m.groupBy("token", F.col("conv_id").alias("source")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("cnt").desc(), F.col("source").asc()
+    )
+    return (
+        counted.withColumn("cand_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cand_rank") <= 3)
+        .select("token", "source", "cnt", "cand_rank")
+    )
+
+
+Q_CANDIDATES_TOPK_SQL = f"""
+SELECT token, source, cnt, cand_rank FROM (
+  SELECT token, source, cnt,
+         CAST(row_number() OVER (PARTITION BY token ORDER BY cnt DESC, source ASC)
+              AS BIGINT) AS cand_rank
+  FROM (
+    SELECT token, conv_id AS source, count(*) AS cnt
+    FROM ({Q_TOKEN_MENTIONS_SQL.strip()})
+    GROUP BY token, conv_id
+  )
+) WHERE cand_rank <= 3
+"""
+
+
+def q_marginalize(spark, sf_dir):
+    """A1 logsumexp marginalization over events: per (user_id,
+    event_type) marginalize score·len/len^0.5 with score = value/100,
+    len = length(event_type)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (F.col("value") / 100.0).alias("s"),
+        F.length("event_type").cast("double").alias("l"),
+    ).withColumn("adj", F.col("s") * F.col("l") / F.sqrt(F.col("l")))
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.max("adj").alias("mx"),
+        F.collect_list("adj").alias("adjs"),
+        F.count("*").alias("n_hyps"),
+    )
+    return g.select(
+        "user_id", "event_type", "n_hyps",
+        F.round(
+            F.col("mx")
+            + F.log(F.aggregate(
+                "adjs", F.lit(0.0), lambda acc, x: acc + F.exp(x - F.col("mx"))
+            )),
+            6,
+        ).alias("marg_score"),
+    )
+
+
+Q_MARGINALIZE_SQL = """
+SELECT user_id, event_type, count(*) AS n_hyps,
+       CAST(round(max(adj) + ln(sum(exp(adj - mx))), 6) AS DOUBLE) AS marg_score
+FROM (
+  SELECT user_id, event_type, adj,
+         max(adj) OVER (PARTITION BY user_id, event_type) AS mx
+  FROM (
+    SELECT user_id, event_type,
+           (value / 100.0) * length(event_type) / sqrt(length(event_type)) AS adj
+    FROM events
+  )
+)
+GROUP BY user_id, event_type
+"""
+
+
+def q_first_covered(spark, sf_dir):
+    """J7-analog argmin-by-rank: per user, the earliest (by event_id)
+    event whose type has 'coverage' (purchase/signup)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return ev.groupBy("user_id").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+    )
+
+
+Q_FIRST_COVERED_SQL = """
+SELECT user_id, min(event_id) AS first_event_id,
+       arg_min(event_type, event_id) AS first_type
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY user_id
+"""
+
+
+def q_vote_mode(spark, sf_dir):
+    """A2 majority vote with deterministic tiebreak (count desc, label asc)."""
+    ev = t(spark, sf_dir, "events").select("user_id", F.col("event_type").alias("label"))
+    return majority_vote(ev, ["user_id"], "label")
+
+
+Q_VOTE_MODE_SQL = """
+SELECT user_id, voted_label FROM (
+  SELECT user_id, event_type AS voted_label,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+def q_langid(spark, sf_dir):
+    """Heuristic language-ID (profile-hit argmax, deterministic tiebreak)."""
+    from kgpipe.textstats import predict_language
+
+    return predict_language(
+        t(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", "declared_lang", "pred_lang",
+        F.col("profile_hits").cast("long").alias("profile_hits"),
+    )
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({words}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    # argmax with (score desc, lang asc): fold over CASE comparisons
+    best = f"'{langs[0]}'"
+    best_s = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {best_s} THEN '{lang}' ELSE {best} END"
+        best_s = f"greatest(s_{lang}, {best_s})"
+    return f"""
+SELECT doc_id, declared_lang, {best} AS pred_lang,
+       CAST({best_s} AS BIGINT) AS profile_hits
+FROM (
+  SELECT doc_id, lang AS declared_lang, {', '.join(score_cols)}
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+Q_LANGID_SQL = _langid_sql()
+
+
+def q_langid_confusion(spark, sf_dir):
+    """A6 confusion matrix (long form): declared × predicted counts."""
+    return (
+        q_langid(spark, sf_dir)
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q_LANGID_CONFUSION_SQL = f"""
+SELECT declared_lang, pred_lang, count(*) AS n
+FROM ({Q_LANGID_SQL.strip()}) GROUP BY declared_lang, pred_lang
+"""
+
+
+def q_redirect_closure(spark, sf_dir):
+    """J2 bounded pointer-chase: synthetic redirect edges
+    custkey → floor(custkey/2) (chains deeper than the 10-hop bound),
+    resolved by the engine's closure operator."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 1)
+    edges = cust.select(
+        F.lit("en").alias("lang"),
+        F.col("c_custkey").cast("string").alias("src_title"),
+        F.floor(F.col("c_custkey") / 2).cast("long").cast("string").alias("dst_title"),
+    )
+    return resolve_redirect_closure(edges, max_hops=10).select(
+        "src_title", "final_title"
+    )
+
+
+Q_REDIRECT_CLOSURE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS src,
+         CAST(CAST(floor(c_custkey / 2) AS BIGINT) AS VARCHAR) AS dst
+  FROM customer WHERE c_custkey >= 1
+), chase(src, cur, d) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT c.src, e.dst, c.d + 1
+  FROM chase c JOIN edges e ON c.cur = e.src
+  WHERE c.d < 10
+)
+SELECT src AS src_title, arg_max(cur, d) AS final_title
+FROM chase GROUP BY src
+"""
+
+
+def q_title_max_qid(spark, sf_dir):
+    """J1 title→QID with max-numeric-QID tiebreak over a part-derived
+    title map."""
+    tm = t(spark, sf_dir, "part").select(
+        F.concat(F.lit("T"), (F.col("p_partkey") % 50).cast("string")).alias("title"),
+        F.concat(F.lit("Q"), F.col("p_partkey").cast("string")).alias("qid"),
+    )
+    return tm.groupBy("title").agg(
+        F.max_by("qid", F.substring("qid", 2, 18).cast("long")).alias("resolved_qid")
+    )
+
+
+Q_TITLE_MAX_QID_SQL = """
+SELECT 'T' || CAST(p_partkey % 50 AS VARCHAR) AS title,
+       'Q' || CAST(max(p_partkey) AS VARCHAR) AS resolved_qid
+FROM part GROUP BY 1
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups over documents (keep = min doc_id)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def _minhash_spark(spark, sf_dir, subset_mod: int | None = None):
+    from kgpipe.dedup import minhash_signatures
+
+    docs = t(spark, sf_dir, "documents")
+    if subset_mod:
+        docs = docs.filter(F.col("doc_id") % subset_mod == 0)
+    return minhash_signatures(docs, _token_ids(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 explicit universal hashes over the global
+    token-id dictionary) + 4 LSH band keys."""
+    sig = _minhash_spark(spark, sf_dir)
+    cols = ["doc_id"] + [F.col(f"minh_{j}").cast("long").alias(f"minh_{j}")
+                         for j in range(8)]
+    cols += [F.col(f"band_{b}").cast("long").alias(f"band_{b}") for b in range(4)]
+    return sig.select(*cols)
+
+
+def _minhash_sql(subset_pred: str = "TRUE") -> str:
+    mins = ", ".join(
+        f"CAST(min((token_id * {a} + {b}) % {MINHASH_P}) AS BIGINT) AS minh_{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    bands = ", ".join(
+        f"(minh_{2*b} * {MINHASH_P} + minh_{2*b+1}) AS band_{b}" for b in range(4)
+    )
+    return f"""
+SELECT doc_id, {', '.join(f'minh_{j}' for j in range(8))}, {bands} FROM (
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT DISTINCT d.doc_id, ti.token_id
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE {subset_pred}) d
+    JOIN ({TOKEN_IDS_SQL}) ti ON d.token = ti.token
+  ) GROUP BY doc_id)
+"""
+
+
+Q_MINHASH_SIGNATURES_SQL = _minhash_sql()
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (docs sharing any band key) on a
+    doc_id%20 subset — the quadratic search as 4 bucket equi-joins."""
+    from kgpipe.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return minhash_lsh_pairs(docs, _token_ids(spark, sf_dir))
+
+
+Q_MINHASH_PAIRS_SQL = f"""
+WITH sig AS ({_minhash_sql('doc_id % 20 = 0').strip()}),
+bands AS (
+  SELECT doc_id, band_0 AS bk FROM sig UNION ALL
+  SELECT doc_id, band_1 FROM sig UNION ALL
+  SELECT doc_id, band_2 FROM sig UNION ALL
+  SELECT doc_id, band_3 FROM sig
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.bk = r.bk AND l.doc_id < r.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit, explicit LCG bit mixing)."""
+    from kgpipe.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"), _token_ids(spark, sf_dir))
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(2 * (CAST(floor(h / {2 ** k}) AS BIGINT) % 2) - 1) AS s_{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN s_{k} > 0 THEN {2 ** k} ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"""
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM (
+  SELECT doc_id, {sums}
+  FROM (
+    SELECT d.doc_id,
+           (CAST(ti.token_id AS BIGINT) * {SIMHASH_A} + {SIMHASH_B}) % {SIMHASH_M} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) d
+    JOIN ({TOKEN_IDS_SQL}) ti ON d.token = ti.token
+  ) GROUP BY doc_id)
+"""
+
+
+Q_SIMHASH_SQL = _simhash_sql()
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact shingle-Jaccard near-dup pairs on a doc_id%20 subset with
+    rare-shingle candidate pruning (df ≤ 3)."""
+    from kgpipe.dedup import jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return jaccard_pairs(docs, n=3, threshold=0.02, max_df=10)
+
+
+Q_JACCARD_PAIRS_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) >= 3 THEN
+        array_to_string(toks[i:i+2], ' ')
+      ELSE text END AS shingle
+    FROM (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM docs
+    ), LATERAL (
+      SELECT unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i
+    )
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle HAVING count(*) <= 10) r
+    ON sh.shingle = r.shingle
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       CAST(round(i.inter / (za.sz + zb.sz - i.inter), 6) AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+WHERE round(i.inter / (za.sz + zb.sz - i.inter), 6) >= 0.02
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    from kgpipe.textstats import token_stats
+
+    s = token_stats(t(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "avg_token_len",
+    )
+
+
+Q_TOKEN_STATS_SQL = """
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6)
+            AS DOUBLE) AS avg_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def q_quality(spark, sf_dir):
+    from kgpipe.textstats import quality_score
+
+    q = quality_score(t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio", "distinct_ratio",
+        F.col("n_stopword_types").cast("long").alias("n_stopword_types"),
+        "quality",
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+Q_QUALITY_SQL = f"""
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(round(stop_cnt * 1.0 / n, 6) AS DOUBLE) AS stopword_ratio,
+  CAST(round(nd * 1.0 / n, 6) AS DOUBLE) AS distinct_ratio,
+  CAST(stop_types AS BIGINT) AS n_stopword_types,
+  CAST(round(0.4 * (nd * 1.0 / n) + 0.3 * (stop_cnt * 1.0 / n)
+       + 0.3 * least(n / 200.0, 1.0), 6) AS DOUBLE) AS quality
+FROM (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS stop_cnt,
+         len(list_filter(list_distinct(toks), x -> x IN ({_SW}))) AS stop_types
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from kgpipe.textstats import fingerprint
+
+    return fingerprint(
+        t(spark, sf_dir, "documents"), _token_ids(spark, sf_dir)
+    )
+
+
+Q_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CAST(sum(pos * token_id) % 2147483647 AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+) d JOIN ({TOKEN_IDS_SQL}) ti USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_embedding_norm(spark, sf_dir):
+    from kgpipe.similarity import with_norm
+
+    return with_norm(t(spark, sf_dir, "embeddings")).select("vec_id", "l2_norm")
+
+
+Q_EMBEDDING_NORM_SQL = """
+SELECT vec_id,
+       CAST(round(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for query vectors vec_id < 20."""
+    from kgpipe.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"), "cosine",
+    )
+
+
+Q_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(round(list_dot_product(q.qv, c.nv)
+              / (sqrt(list_dot_product(q.qv, q.qv))
+                 * sqrt(list_dot_product(c.nv, c.nv))), 6) AS DOUBLE) AS cosine
+  FROM q CROSS JOIN c WHERE q.query_id != c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    from kgpipe.textstats import sessionize
+
+    s = sessionize(t(spark, sf_dir, "events"), gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+Q_SESSIONIZE_SQL = """
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_e IS NULL OR (e - prev_e) > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM (
+    SELECT user_id, epoch(ts) AS e,
+           lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_e
+    FROM events
+  )
+) GROUP BY user_id
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation (relational coverage baseline)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast join + agg + deterministic top-k."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    agg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, total_spent, n_orders, rk FROM (
+  SELECT c_custkey, c_name, total_spent, n_orders,
+         CAST(row_number() OVER (ORDER BY total_spent DESC, c_custkey ASC)
+              AS BIGINT) AS rk
+  FROM (
+    SELECT c_custkey, c_name,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_spent,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+  )
+) WHERE rk <= 10
+"""
+
+
+QUERIES = {
+    "q01_turn_order": (q_turn_order, Q_TURN_ORDER_SQL),
+    "q02_token_mentions": (q_token_mentions, Q_TOKEN_MENTIONS_SQL),
+    "q03_candidates_topk": (q_candidates_topk, Q_CANDIDATES_TOPK_SQL),
+    "q04_marginalize": (q_marginalize, Q_MARGINALIZE_SQL),
+    "q05_first_covered": (q_first_covered, Q_FIRST_COVERED_SQL),
+    "q06_vote_mode": (q_vote_mode, Q_VOTE_MODE_SQL),
+    "q07_langid": (q_langid, Q_LANGID_SQL),
+    "q08_langid_confusion": (q_langid_confusion, Q_LANGID_CONFUSION_SQL),
+    "q09_redirect_closure": (q_redirect_closure, Q_REDIRECT_CLOSURE_SQL),
+    "q10_title_max_qid": (q_title_max_qid, Q_TITLE_MAX_QID_SQL),
+    "q11_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "q12_minhash_signatures": (q_minhash_signatures, Q_MINHASH_SIGNATURES_SQL),
+    "q13_minhash_pairs": (q_minhash_pairs, Q_MINHASH_PAIRS_SQL),
+    "q14_simhash": (q_simhash, Q_SIMHASH_SQL),
+    "q15_jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_PAIRS_SQL),
+    "q16_token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),
+    "q17_quality": (q_quality, Q_QUALITY_SQL),
+    "q18_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "q19_embedding_norm": (q_embedding_norm, Q_EMBEDDING_NORM_SQL),
+    "q20_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
+    "q21_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "q22_pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
+    "q23_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
+}
+
+
+# rows-only queries (no SQL oracle: pandas-UDF sequence ops / KG pipeline)
+
+def q_span_mentions(spark, sf_dir):
+    """Q1/Q2 over the transcript stand-in with a fixed gazetteer
+    (multi-token surfaces included) — pandas-UDF state machine, hence
+    rows-only check."""
+    from kgpipe.mentions import detect_mentions, tokenize
+
+    tr = tokenize(doc_transcripts(spark, sf_dir))
+    surfaces = ["hash join", "table scan", "spark", "window", "merge part"]
+    return detect_mentions(tr, surfaces=surfaces).select(
+        "conv_id", "turn_idx", "entity_id", "mention_id",
+        "text", "start", "end", "marked_text",
+    )
+
+
+def q_kg_triples(spark, sf_dir):
+    """Full KG pipeline (mention → candidates → link → enrich →
+    classify → triples) over the transcript stand-in with an inline
+    deterministic KB built from the lexicon."""
+    from kgpipe import schemas
+    from kgpipe.pipeline import run_pipeline
+
+    kb_rows, mc_rows, args_rows, summ_rows = [], [], [], []
+    cats = ["Software", "TechCorp", "Facility", "OtherPROD", "Scientist",
+            "MusicalWork", "Disease"]
+    for i, w in enumerate(LEXICON):
+        qid = f"Q{1000 + i * 3}"
+        kb_rows.append((
+            qid, {"en": w.title()},
+            {"en": f"{cats[i % len(cats)].lower()} about {w}"},
+            {"en": w.title()}, {"en": [w]},
+        ))
+        mc_rows.append((w, qid, 100 - i))
+        args_rows.append((qid, "P31", f"Q{1000 + ((i + 1) % len(LEXICON)) * 3}", 0))
+        summ_rows.append((w.title(), f"summary page for {w}"))
+
+    entity_kb = spark.createDataFrame(kb_rows, schema=schemas.ENTITY_KB)
+    kb_args = spark.createDataFrame(args_rows, schema=schemas.KB_ARGS)
+    mention_counts = spark.createDataFrame(mc_rows, schema=schemas.MENTION_COUNTS)
+    summaries = spark.createDataFrame(summ_rows, schema=schemas.WIKI_SUMMARIES)
+
+    tr = doc_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.lit("user").alias("role"), "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    res = run_pipeline(
+        spark, tr, entity_kb, kb_args, mention_counts, summaries,
+        language="en", check_invariants=False,
+    )
+    return res["triples"]
+
+
+ROWS_ONLY_QUERIES = {
+    "q24_span_mentions": q_span_mentions,
+    "q25_kg_triples": q_kg_triples,
+}

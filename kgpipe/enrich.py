@@ -1,0 +1,132 @@
+"""KB enrichment: J7 first-candidate-with-coverage acceptance with EN
+fallback + sentinels, J6 argument expansion, summary lookup
+(SURVEY.md §2.4; reference get_wikidata.py:102-203, 239-276).
+
+Reference semantics: iterate the ranked QID list; accept the first
+whose KB entry has BOTH a title and a description in the requested
+language (disambiguation pages were blanked and so never match); if
+none, rerun the whole iteration with lang='en'; if still none, emit
+sentinels. Arguments are the per-edge labels in the accepted language,
+in P31→P106→P279 edge order.
+
+Spark-first: posexplode the prediction list, one broadcast join against
+the `kb_context` dim (the reference's JSON cache as a table — no
+network), then an argmin-by-rank aggregation per mention. min() over a
+struct keyed by candidate position gives "first accepted" exactly; the
+EN pass is a second conditional aggregation in the same groupBy, so the
+whole stage is one shuffle on mention_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgpipe.schemas import (
+    NO_WIKIDATA_SUMMARY,
+    NO_WIKIPEDIA_SUMMARY,
+    NO_WIKIPEDIA_TITLE,
+    Q0,
+)
+
+
+def accept_and_enrich(
+    linked: DataFrame,
+    kb_context: DataFrame,
+    wiki_summaries: DataFrame,
+    language: str = "en",
+) -> DataFrame:
+    """linked(mention_id, genre_prediction, ...) → + (link_qid, accepted,
+    accepted_lang, wikidata_summary, wikidata_arguments, wikipedia_title,
+    wikipedia_summary)."""
+    if language == "multi":  # get_wikidata.py:355-359
+        language = "en"
+
+    exploded = linked.select(
+        "mention_id", F.posexplode("genre_prediction").alias("pos", "qid")
+    )
+    ctx = exploded.join(F.broadcast(kb_context), "qid", "left")
+
+    def covered(lang: str):
+        return (
+            F.map_contains_key(F.col("titles"), F.lit(lang))
+            & F.map_contains_key(F.col("descriptions"), F.lit(lang))
+        )
+
+    payload = F.struct(
+        F.col("pos"), F.col("qid"),
+        F.col("descriptions"), F.col("arguments"), F.col("titles"),
+    )
+    # min_by with a NULL ordering key skips the row → "first accepted
+    # candidate" = min_by(payload, pos | covered). (min(struct) can't
+    # order structs containing maps.)
+    agg = ctx.groupBy("mention_id").agg(
+        F.min_by(payload, F.when(covered(language), F.col("pos"))).alias("acc_req"),
+        F.min_by(payload, F.when(covered("en"), F.col("pos"))).alias("acc_en"),
+    )
+
+    use_en = F.col("acc_req").isNull() & F.lit(language != "en")
+    acc = F.when(use_en, F.col("acc_en")).otherwise(F.col("acc_req"))
+    lang_used = F.when(use_en, F.lit("en")).otherwise(F.lit(language))
+
+    decided = agg.select(
+        "mention_id",
+        acc.alias("acc"),
+        F.when(acc.isNotNull(), lang_used).alias("accepted_lang"),
+    ).select(
+        "mention_id",
+        F.col("acc.qid").alias("accepted_qid"),
+        F.col("accepted_lang"),
+        F.when(
+            F.col("acc").isNotNull(),
+            F.element_at(F.col("acc.descriptions"), F.col("accepted_lang")),
+        ).otherwise(F.lit(NO_WIKIDATA_SUMMARY)).alias("wikidata_summary"),
+        F.when(
+            F.col("acc").isNotNull(),
+            F.expr(
+                "transform(filter(acc.arguments,"
+                " a -> map_contains_key(a.labels, accepted_lang)),"
+                " a -> a.labels[accepted_lang])"
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("wikidata_arguments"),
+        F.when(
+            F.col("acc").isNotNull(),
+            F.expr(
+                "transform(filter(acc.arguments,"
+                " a -> map_contains_key(a.labels, accepted_lang)),"
+                " a -> struct(a.prop as prop, a.labels[accepted_lang] as label))"
+            ),
+        ).otherwise(F.expr("array()").cast(
+            "array<struct<prop:string,label:string>>")).alias("arg_pairs"),
+        F.when(
+            F.col("acc").isNotNull(),
+            F.element_at(F.col("acc.titles"), F.col("accepted_lang")),
+        ).otherwise(F.lit(NO_WIKIPEDIA_TITLE)).alias("wikipedia_title"),
+    )
+
+    # Wikipedia summary: dim join replaces the MediaWiki REST call (S7);
+    # the "No wikipedia title" → "No wikipedia summary found" row is
+    # pre-seeded in the reference cache (get_wikidata.py:218).
+    # the reference cache is a dict keyed by title → enforce one summary
+    # per title deterministically (min) before the join, so a dirty dim
+    # can't fan out fact rows
+    summ = F.broadcast(
+        wiki_summaries.groupBy(F.col("title").alias("wikipedia_title"))
+        .agg(F.min("summary").alias("summary"))
+    )
+    with_summary = (
+        decided.join(summ, "wikipedia_title", "left")
+        .withColumn(
+            "wikipedia_summary",
+            F.when(
+                F.col("wikipedia_title") == NO_WIKIPEDIA_TITLE,
+                F.lit(NO_WIKIPEDIA_SUMMARY),
+            ).otherwise(F.coalesce("summary", F.lit(NO_WIKIPEDIA_SUMMARY))),
+        )
+        .drop("summary")
+    )
+
+    out = linked.join(with_summary, "mention_id", "left").withColumn(
+        "link_qid", F.coalesce("accepted_qid", F.lit(Q0))
+    )
+    return out

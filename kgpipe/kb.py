@@ -1,0 +1,261 @@
+"""KB dimension builders + lookup joins (SURVEY.md §2.4 J1-J4, §2.5 A3-A5).
+
+The reference holds these as multi-GB pickled Python dicts
+(preprocess_wikidata.py:175-251, preprocess_mention_dicts.py:73-148);
+here each is a columnar dim table built declaratively from `entity_kb`,
+small enough to broadcast — exactly how the reference holds them fully
+in RAM (README.md:151-153). At 10^12-turn scale the *fact* side grows;
+these dims stay broadcast-sized, so every lookup below remains a
+broadcast hash join with zero shuffle on the fact table.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgpipe.schemas import LANGUAGES2SAVE, PROPS
+
+DISAMBIG_DESCRIPTIONS = ["Wikimedia disambiguation page", "Wikimedia list article"]
+
+
+def qid_num(col):
+    """Numeric part of a QID for the max-QID tiebreak (run_genre.py:283-285)."""
+    return F.substring(col, 2, 18).cast("long")
+
+
+def build_title_map(entity_kb: DataFrame) -> DataFrame:
+    """sitelinks map → (lang, title, qid) rows
+    (lang_title2wikidataID, preprocess_wikidata.py:195-197)."""
+    return (
+        entity_kb.select("qid", F.explode("sitelinks").alias("lang", "title"))
+        .select("lang", "title", "qid")
+        .distinct()
+    )
+
+
+def build_alias_map(entity_kb: DataFrame) -> DataFrame:
+    """lowercased labels ∪ aliases → (alias_lc, qid)
+    (label_or_alias2wikidataID, preprocess_wikidata.py:208-217)."""
+    labels = entity_kb.select(
+        F.explode(F.map_values("labels")).alias("l"), "qid"
+    ).select(F.lower("l").alias("alias_lc"), "qid")
+    aliases = entity_kb.select(
+        F.explode(F.flatten(F.map_values("aliases"))).alias("a"), "qid"
+    ).select(F.lower("a").alias("alias_lc"), "qid")
+    return labels.unionByName(aliases).distinct()
+
+
+def build_mention_counts(anchors: DataFrame) -> DataFrame:
+    """A3 mention/QID co-occurrence counts over anchor rows
+    (mention, qid) → cnt (preprocess_mention_dicts.py:106-108)."""
+    return anchors.groupBy("mention", "qid").agg(F.count("*").alias("cnt"))
+
+
+def build_lang_priority(anchors_with_lang: DataFrame) -> DataFrame:
+    """A4 per-QID language priority: langs ranked by (per-QID count,
+    global lang count) desc (preprocess_mention_dicts.py:110-127).
+    Input rows: (qid, lang). Output: (qid, langs array<string>)."""
+    per_qid = anchors_with_lang.groupBy("qid", "lang").agg(F.count("*").alias("cnt"))
+    global_cnt = per_qid.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    joined = per_qid.join(F.broadcast(global_cnt), "lang")
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    (-F.col("total")).alias("neg_total"),
+                    F.col("lang"),
+                ))
+            ).alias("ranked")
+        )
+        .select("qid", F.expr("transform(ranked, x -> x.lang)").alias("langs"))
+    )
+
+
+def build_canonical_titles(entity_kb: DataFrame, lang_priority: DataFrame,
+                           allowed_langs=None) -> DataFrame:
+    """A5 canonical (lang, title) per QID: first language in the priority
+    list with a sitelink (preprocess_tries.py:153-193)."""
+    allowed = allowed_langs or LANGUAGES2SAVE
+    titles = entity_kb.select("qid", F.explode("sitelinks").alias("lang", "title"))
+    pr = lang_priority.select(
+        "qid", F.posexplode("langs").alias("lang_rank", "lang")
+    ).filter(F.col("lang").isin(allowed))
+    cand = titles.join(pr, ["qid", "lang"])
+    return cand.groupBy("qid").agg(
+        F.min_by(F.struct("lang", "title"), "lang_rank").alias("c")
+    ).select("qid", F.col("c.lang").alias("lang"), F.col("c.title").alias("title"))
+
+
+def build_kb_context(entity_kb: DataFrame, kb_args: DataFrame,
+                     langs=None) -> DataFrame:
+    """The materialized form of the reference's wikidata/argument JSON
+    caches (get_wikidata.py:34-72): per QID — language-projected
+    descriptions (P9), ordered argument label maps (J6 expansion via the
+    kb_args edge table), and 'titles' (= wikidata *labels*; the reference
+    reads item.attributes['labels'] as wikipedia_titles,
+    get_wikidata.py:157-164). Disambiguation/list pages are blanked
+    (P6, get_wikidata.py:131-141)."""
+    langs = langs or LANGUAGES2SAVE
+    langs_arr = F.array(*[F.lit(l) for l in langs])
+    keep = lambda col: F.map_filter(col, lambda k, _: F.array_contains(langs_arr, k))
+
+    is_disambig = reduce(
+        lambda a, b: a | b,
+        [
+            F.array_contains(F.map_values("descriptions"), F.lit(d))
+            for d in DISAMBIG_DESCRIPTIONS
+        ],
+    )
+
+    # argument labels: kb_args edge → arg entity labels (2-hop expansion)
+    arg_labels = (
+        kb_args.alias("e")
+        .join(F.broadcast(entity_kb.select(
+            F.col("qid").alias("arg_qid"),
+            F.col("labels").alias("arg_labels"))), "arg_qid")
+        # reference ordering: P31 edges, then P106, then P279, each in
+        # item order (get_wikidata.py:143-150)
+        .withColumn("prop_rank",
+                    F.array_position(F.array(*[F.lit(p) for p in PROPS]), F.col("prop")))
+        .groupBy("qid")
+        .agg(F.collect_list(F.struct(
+            "prop_rank", "ord", "prop", "arg_qid",
+            F.col("arg_labels").alias("labels"))).alias("arguments_raw"))
+        # structs containing maps aren't natively orderable → explicit
+        # comparator on (prop_rank, ord)
+        .withColumn("arguments", F.expr(
+            "array_sort(arguments_raw, (l, r) -> case"
+            " when l.prop_rank < r.prop_rank then -1"
+            " when l.prop_rank > r.prop_rank then 1"
+            " when l.ord < r.ord then -1"
+            " when l.ord > r.ord then 1 else 0 end)"
+        ))
+        .drop("arguments_raw")
+    )
+
+    ctx = (
+        entity_kb.join(arg_labels, "qid", "left")
+        .select(
+            "qid",
+            F.when(is_disambig, F.create_map()).otherwise(keep(F.col("descriptions")))
+             .alias("descriptions"),
+            F.when(is_disambig, F.array()).otherwise(
+                F.coalesce(F.expr(
+                    "transform(arguments, x -> struct(x.prop as prop,"
+                    " x.arg_qid as arg_qid, x.labels as labels))"
+                ), F.array())
+            ).alias("arguments"),
+            F.when(is_disambig, F.create_map()).otherwise(keep(F.col("labels")))
+             .alias("titles"),
+            is_disambig.alias("is_disambig"),
+        )
+    )
+    return ctx
+
+
+def resolve_redirect_closure(redirects: DataFrame, max_hops: int = 10) -> DataFrame:
+    """J2 bounded redirect chase as a one-shot closure precompute:
+    iterate `final = redirects[final]` up to max_hops, exactly mirroring
+    the while-loop bound at GENRE/genre/utils.py:454-459 (so a 2-cycle
+    terminates at the parity the loop would reach). Output:
+    (lang, src_title, final_title).
+
+    Each hop is a broadcast self-join; the redirect dim is
+    broadcast-sized, so the closure costs max_hops map-side joins and
+    no shuffle. With GraphFrames available this is a connected-
+    components/path-contraction job; the bounded unroll keeps exact
+    reference parity for cycles.
+    """
+    cur = redirects.select(
+        "lang", "src_title", F.col("dst_title").alias("final_title")
+    )
+    hop = F.broadcast(redirects.select(
+        F.col("lang").alias("h_lang"),
+        F.col("src_title").alias("h_src"),
+        F.col("dst_title").alias("h_dst"),
+    ))
+    for _ in range(max_hops - 1):
+        cur = (
+            cur.join(
+                hop,
+                (cur["lang"] == hop["h_lang"]) & (cur["final_title"] == hop["h_src"]),
+                "left",
+            )
+            .select(
+                "lang", "src_title",
+                F.coalesce("h_dst", "final_title").alias("final_title"),
+            )
+        )
+    return cur
+
+
+def resolve_titles(df: DataFrame, title_map: DataFrame,
+                   lang_col: str = "lang", title_col: str = "title") -> DataFrame:
+    """J1 title→QID with max-numeric-QID tiebreak (run_genre.py:281-285):
+    broadcast join + max_by. Adds column `resolved_qid` (null if no hit)."""
+    tm = F.broadcast(title_map.select(
+        F.col("lang").alias("_tm_lang"), F.col("title").alias("_tm_title"), "qid"
+    ))
+    joined = df.join(
+        tm,
+        (F.col(lang_col) == F.col("_tm_lang")) & (F.col(title_col) == F.col("_tm_title")),
+        "left",
+    )
+    keys = [c for c in df.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(F.max_by("qid", qid_num(F.col("qid"))).alias("resolved_qid"))
+    )
+
+
+def resolution_cascade(anchors: DataFrame, title_map: DataFrame,
+                       redirect_closure: DataFrame, alias_map: DataFrame) -> DataFrame:
+    """J4 3-way cascade with provenance (get_wikidata_ids,
+    GENRE/genre/utils.py:439-488): direct title hit → 'simple';
+    redirect-chased title hit → 'wikipedia'; lowercase alias hit →
+    'wikidata'; else null. Input rows: (anchor, lang). Adds
+    (resolved_qid, provenance).
+
+    (The reference's search_simple quirkily probes the alias dict with a
+    (lang,title) tuple — a dead branch; we implement the intended
+    title-map probe.)
+    """
+    tm = F.broadcast(title_map)
+    direct = anchors.join(
+        tm.withColumnRenamed("title", "anchor"), ["lang", "anchor"], "left"
+    ).groupBy(*anchors.columns).agg(
+        F.max_by("qid", qid_num(F.col("qid"))).alias("simple_qid")
+    )
+
+    chased = direct.join(
+        F.broadcast(redirect_closure.withColumnRenamed("src_title", "anchor")),
+        ["lang", "anchor"], "left",
+    ).withColumn("chase_title", F.coalesce("final_title", "anchor")).drop("final_title")
+
+    wiki = chased.join(
+        tm.withColumnRenamed("title", "chase_title"),
+        ["lang", "chase_title"], "left",
+    ).groupBy(*[c for c in chased.columns]).agg(
+        F.max_by("qid", qid_num(F.col("qid"))).alias("wikipedia_qid")
+    )
+
+    am = F.broadcast(alias_map)
+    final = wiki.join(
+        am, F.lower(wiki["anchor"]) == am["alias_lc"], "left"
+    ).groupBy(*[c for c in wiki.columns]).agg(
+        F.max_by("qid", qid_num(F.col("qid"))).alias("wikidata_qid")
+    )
+
+    return final.select(
+        *anchors.columns,
+        F.coalesce("simple_qid", "wikipedia_qid", "wikidata_qid").alias("resolved_qid"),
+        F.when(F.col("simple_qid").isNotNull(), F.lit("simple"))
+        .when(F.col("wikipedia_qid").isNotNull(), F.lit("wikipedia"))
+        .when(F.col("wikidata_qid").isNotNull(), F.lit("wikidata"))
+        .alias("provenance"),
+    )

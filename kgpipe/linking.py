@@ -1,0 +1,144 @@
+"""Entity linking: hypothesis scoring + per-QID marginalization + rank
+(SURVEY.md §2.5 A1, §2.6 W2; reference run_genre.py:265-295 +
+GENRE/genre/utils.py:491-535).
+
+The reference's constrained beam search produces ≤`beam` hypotheses
+"<title> >> <lang>" per mention, maps each to a QID, then marginalizes
+scores per QID with logsumexp(score·len/len^lenpen) and sorts desc.
+
+Sandbox stand-in for the neural scorer: a deterministic closed-form
+score over (context, candidate title, anchor-count prior) — the same
+I/O contract (per-mention ranked hypothesis list), implemented entirely
+with JVM-side column expressions so the whole stage is
+whole-stage-codegen'd; no Python in the hot path.
+
+Deterministic tiebreaks (the reference inherits dict/beam order):
+hypothesis cap — score desc then hyp text asc; QID rank — marginal
+score desc then numeric QID asc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgpipe.kb import qid_num
+from kgpipe.schemas import Q0
+
+MARGINALIZE_LENPEN = 0.5  # fairseq_model.py:27 default
+DEFAULT_BEAM = 8  # run_genre.py:227
+
+
+def score_hypotheses(
+    candidates: DataFrame,
+    mentions: DataFrame,
+    title_map: DataFrame,
+    beam: int = DEFAULT_BEAM,
+) -> DataFrame:
+    """(mention_id, qid, cnt) × title_map → ≤beam scored hypotheses per
+    mention.
+
+    score = 0.9·ln(1+cnt) + 1.5·overlap(context, title) − 0.35·len − 3
+    where len = token count of "<title> >> <lang>" (as the beam length
+    enters the reference's marginalization) and overlap is the fraction
+    of title tokens present in the turn.
+    """
+    ctx = mentions.select("mention_id", F.col("tokens").alias("ctx_tokens"))
+    hyp = (
+        candidates.join(F.broadcast(title_map), "qid")
+        .join(ctx, "mention_id")
+        .withColumn("hyp_text", F.concat_ws(" >> ", F.col("title"), F.col("lang")))
+        .withColumn("hyp_len", F.size(F.split(F.col("hyp_text"), " ")))
+        .withColumn("title_tokens", F.split(F.lower(F.col("title")), " "))
+        .withColumn(
+            "overlap",
+            F.size(F.array_intersect(F.col("ctx_tokens"), F.col("title_tokens")))
+            / F.size(F.col("title_tokens")),
+        )
+        .withColumn(
+            "hyp_score",
+            F.lit(0.9) * F.log(F.lit(1.0) + F.col("cnt"))
+            + F.lit(1.5) * F.col("overlap")
+            - F.lit(0.35) * F.col("hyp_len")
+            - F.lit(3.0),
+        )
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("hyp_score").desc(), F.col("hyp_text").asc()
+    )
+    return (
+        hyp.withColumn("beam_rank", F.row_number().over(w))
+        .filter(F.col("beam_rank") <= beam)
+        .select("mention_id", "qid", "hyp_text", "hyp_len", "hyp_score", "beam_rank")
+    )
+
+
+def marginalize(hypotheses: DataFrame,
+                lenpen: float = MARGINALIZE_LENPEN) -> DataFrame:
+    """A1 per-QID beam marginalization (post_process_wikidata,
+    GENRE/genre/utils.py:507-533):
+
+      score(qid) = logsumexp_i( s_i · len_i / len_i^lenpen )
+
+    Two-pass logsumexp as pure expressions: group max, then
+    log(Σ exp(x − max)) + max — no UDF, map-side partial agg applies.
+    Output: (mention_id, qid, texts, scores, score, rank).
+    """
+    adj = hypotheses.withColumn(
+        "adj_score",
+        F.col("hyp_score") * F.col("hyp_len")
+        / F.pow(F.col("hyp_len"), F.lit(lenpen)),
+    )
+    grouped = adj.groupBy("mention_id", "qid").agg(
+        F.max("adj_score").alias("mx"),
+        F.array_sort(
+            F.collect_list(F.struct(
+                (-F.col("hyp_score")).alias("neg"), "hyp_text", "hyp_score", "adj_score"
+            ))
+        ).alias("hyps"),
+    )
+    marg = grouped.select(
+        "mention_id", "qid",
+        F.expr("transform(hyps, h -> h.hyp_text)").alias("texts"),
+        F.expr("transform(hyps, h -> h.hyp_score)").alias("scores"),
+        (
+            F.col("mx")
+            + F.log(F.expr(
+                "aggregate(hyps, cast(0.0 as double),"
+                " (acc, h) -> acc + exp(h.adj_score - mx))"
+            ))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("score").desc(), qid_num(F.col("qid")).asc()
+    )
+    return marg.withColumn("rank", F.row_number().over(w))
+
+
+def predictions_per_mention(mentions: DataFrame, ranked: DataFrame) -> DataFrame:
+    """Fold ranked QIDs back to one row per mention:
+    genre_prediction = [qid by rank asc]; mentions with zero surviving
+    candidates get the ["Q0"] sentinel — the terminal rung of the
+    reference's error ladder (run_genre.py:296-364)."""
+    per_mention = ranked.groupBy("mention_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rank, qid))), x -> x.qid)"
+        ).alias("genre_prediction")
+    )
+    return (
+        mentions.join(per_mention, "mention_id", "left")
+        .withColumn(
+            "genre_prediction",
+            F.coalesce("genre_prediction", F.array(F.lit(Q0))),
+        )
+    )
+
+
+def link_mentions(mentions: DataFrame, candidates: DataFrame,
+                  title_map: DataFrame, beam: int = DEFAULT_BEAM,
+                  lenpen: float = MARGINALIZE_LENPEN) -> DataFrame:
+    """Full linking stage: candidates → scored hypotheses → marginalize
+    → ranked predictions folded back onto mentions."""
+    hyps = score_hypotheses(candidates, mentions, title_map, beam=beam)
+    ranked = marginalize(hyps, lenpen=lenpen)
+    return predictions_per_mention(mentions, ranked)

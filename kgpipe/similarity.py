@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline and an LSH-bucketed
+variant as the scale path. Dot products run as JVM-side `aggregate`/
+`zip_with` expressions in double precision (order-stable left-to-right
+fold → bit-reproducible across engines); no Python in the hot path.
+
+Scale notes: brute-force is queries × corpus — fine for a broadcast
+query set (re-ranking, eval); the LSH variant buckets by sign-random
+projections so candidate generation is an equi-join on bucket keys,
+the same shape as dedup.minhash_lsh_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic pseudo-random hyperplanes: plane p, dim d weight =
+# sin(1 + (p+1)*(d+1)) — reproducible in any engine with a sin()
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("l2_norm", F.round(_norm(F.col(vec_col)), 6))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (brute force): broadcast the
+    query set, rank by cosine desc with (rounded cosine, neighbor id)
+    deterministic ordering. Self-pairs excluded."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket(embeddings: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id", n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-random-projection bucket key per vector: bit_p =
+    (Σ_d v_d · sin(1 + (p+1)(d+1))) > 0. Returns (id, bucket)."""
+    bucket = None
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.expr(
+                    f"transform(sequence(1, size({vec_col})),"
+                    f" d -> sin(cast(1 + {p + 1} * (d + 1) as double)))"
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** p)
+        bucket = term if bucket is None else bucket + term
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("int").alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(embeddings: DataFrame, **kw) -> DataFrame:
+    """ANN candidate pairs = same LSH bucket (equi-join, linear shape)."""
+    b = lsh_bucket(embeddings, **kw)
+    return (
+        b.alias("l").join(b.alias("r"), "bucket")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"),
+                "bucket")
+    )
