@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...}.
+
+The headline set covers every operator family: the full KG pipeline
+(q25), joins/windows/aggregations (q03/q04/q09/q22/q23), dedup
+(q12/q14), similarity (q20), text stats (q17/q18), sessionization (q21).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kgpipe.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q02_token_mentions",
+    "q03_candidates_topk",
+    "q04_marginalize",
+    "q06_vote_mode",
+    "q09_redirect_closure",
+    "q12_minhash_signatures",
+    "q14_simhash",
+    "q17_quality",
+    "q18_fingerprint",
+    "q20_cosine_topk",
+    "q21_sessionize",
+    "q22_pricing_summary",
+    "q23_top_customers",
+    "q24_span_mentions",
+    "q25_kg_triples",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("kgpipe-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings = {}
+    t_all = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

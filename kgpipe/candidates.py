@@ -83,3 +83,71 @@ def generate_candidates(
         summed.withColumn("cand_rank", F.row_number().over(w))
         .filter(F.col("cand_rank") <= max_candidates)
     )
+
+
+def attach_candidates(
+    mentions: DataFrame,
+    mention_counts: DataFrame,
+    max_candidates: int = 8,
+    candidates_lowercase: bool = True,
+) -> DataFrame:
+    """Shuffle-free candidate generation: same semantics as
+    generate_candidates, but the dict lookup stays a *map-side* array
+    computation — mention_counts is pre-grouped per surface form
+    ((mention) → array<(qid, cnt)>), broadcast, probed twice (exact +
+    lowercased), and the per-QID count sum / sort / top-k cap all run
+    as higher-order array expressions on the mention row. Adds a
+    `candidates array<struct<qid, cnt>>` column; preserves the input's
+    partitioning (zero exchanges — the scale path for 10^12 mentions).
+    """
+    grouped = F.broadcast(
+        mention_counts.groupBy("mention").agg(
+            F.collect_list(F.struct("qid", "cnt")).alias("entries")
+        )
+    )
+    m = mentions.withColumn("norm_mention", normalize_mention_udf(F.col("text")))
+    j = (
+        m.join(
+            grouped.select(F.col("mention").alias("_k1"),
+                           F.col("entries").alias("_e1")),
+            m["norm_mention"] == F.col("_k1"), "left")
+    )
+    if candidates_lowercase:
+        j = j.join(
+            grouped.select(F.col("mention").alias("_k2"),
+                           F.col("entries").alias("_e2")),
+            F.lower(j["norm_mention"]) == F.col("_k2"), "left")
+        combined = F.concat(
+            F.coalesce("_e1", F.expr("array()").cast("array<struct<qid:string,cnt:bigint>>")),
+            F.coalesce("_e2", F.expr("array()").cast("array<struct<qid:string,cnt:bigint>>")),
+        )
+    else:
+        combined = F.coalesce(
+            F.col("_e1"),
+            F.expr("array()").cast("array<struct<qid:string,cnt:bigint>>"),
+        )
+    out = (
+        j.withColumn("_combined", combined)
+        .withColumn(
+            "candidates",
+            F.expr(
+                # per-QID count sum over both probes, deterministic sort
+                # (cnt desc, numeric QID asc), top-k cap — all in-row
+                "slice(array_sort("
+                "  transform(array_distinct(transform(_combined, x -> x.qid)),"
+                "    q -> struct(q as qid,"
+                "      aggregate(filter(_combined, x -> x.qid = q),"
+                "                cast(0 as bigint), (a, x) -> a + x.cnt) as cnt)),"
+                "  (l, r) -> case when l.cnt > r.cnt then -1"
+                "                 when l.cnt < r.cnt then 1"
+                "                 when cast(substring(l.qid, 2, 18) as long)"
+                "                    < cast(substring(r.qid, 2, 18) as long) then -1"
+                "                 when cast(substring(l.qid, 2, 18) as long)"
+                "                    > cast(substring(r.qid, 2, 18) as long) then 1"
+                "                 else 0 end"
+                f"), 1, {int(max_candidates)})"
+            ),
+        )
+        .drop("_k1", "_k2", "_e1", "_e2", "_combined")
+    )
+    return out

