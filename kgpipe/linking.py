@@ -148,14 +148,19 @@ def link_mentions_fast(mentions: DataFrame, mention_counts: DataFrame,
                        title_map: DataFrame, beam: int = DEFAULT_BEAM,
                        lenpen: float = MARGINALIZE_LENPEN,
                        max_candidates: int = 8) -> DataFrame:
-    """Single-shuffle linking (the 10^12-turn plan, SURVEY.md §4):
+    """Single-shuffle linking variant: repartition the mention stream
+    ONCE on its unique mention_id; candidate attachment (broadcast
+    array probe), hypothesis explode+broadcast-title join, beam-cap
+    window, per-QID marginalization, rank window and fold-back join
+    are all satisfied by hash(mention_id) — no further exchanges.
+    Identical output to generate_candidates+link_mentions.
 
-    repartition the mention stream ONCE on its unique mention_id; from
-    there candidate attachment (broadcast array probe), hypothesis
-    explode+broadcast-title join, beam-cap window, per-QID
-    marginalization groupBy, rank window, and the fold-back join are
-    all satisfied by hash(mention_id) — Catalyst inserts no further
-    exchanges. Identical output to generate_candidates+link_mentions.
+    MEASURED CAVEAT: despite the minimal shuffle count, this is ~7×
+    slower than the row-based path on local[8] — the interpreted
+    higher-order array expressions in attach_candidates dominate and
+    get re-inlined per downstream consumer. Kept as the
+    shuffle-minimal reference plan (it wins only when shuffle IO, not
+    CPU, is the bottleneck); the pipeline uses the row-based path.
     """
     from kgpipe.candidates import attach_candidates
 

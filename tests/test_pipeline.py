@@ -83,3 +83,25 @@ def test_checkpoint_resume(spark, fixture_set, tmp_path):
     # rerun: all keys done → no recompute, same output
     res2 = _run(spark, fixture_set, checkpoint_dir=ckdir)
     assert res2["triples"].count() == n1
+
+
+def test_pipeline_ensemble_vote_matches_oracle(spark, fixture_set):
+    res = run_pipeline(
+        spark,
+        fixture_set["transcripts"],
+        fixture_set["entity_kb"],
+        fixture_set["kb_args"],
+        fixture_set["mention_counts"],
+        fixture_set["wiki_summaries"],
+        language="en",
+        ensemble_seeds=5,
+    )
+    spark_triples = {
+        (r["subj"], r["pred"], r["obj"]) for r in res["triples"].collect()
+    }
+    rows = [(r["conv_id"], r["turn_idx"], r["text"])
+            for r in fixture_set["transcripts"].collect()]
+    gold = oracle_triples(rows, fixture_set["catalog"], language="en",
+                          ensemble_seeds=5)
+    prf = triple_prf(spark_triples, gold)
+    assert prf["f1"] > 0.999, prf
