@@ -46,18 +46,6 @@ def assemble_features(enriched: DataFrame) -> DataFrame:
     )
 
 
-def keyword_scores_expr(keywords: Dict[str, str] | None = None):
-    """array<struct<neg_cnt, category>> over lowercase feature tokens;
-    array_min picks (max count, then lexicographically-min category)."""
-    keywords = keywords or DEFAULT_KEYWORDS
-    structs = []
-    for cat in sorted(keywords):
-        kw = keywords[cat].replace("'", "''")
-        cnt = F.expr(f"size(filter(feat_tokens, t -> t = '{kw}'))")
-        structs.append(F.struct((-cnt).alias("neg_cnt"), F.lit(cat).alias("category")))
-    return F.array_min(F.array(*structs))
-
-
 FALLBACK_LABEL = sorted(DEFAULT_KEYWORDS)[0]  # zero keyword hits →
 # lexicographically-first category (identical to the argmax-with-
 # tiebreak outcome when every count is zero)

@@ -52,13 +52,6 @@ TRANSCRIPTS_SQL = (
 
 TOKEN_IDS_SQL = (
     "SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)"
-    " AS token_id FROM (SELECT unnest(string_split(text, ' ')) AS token,"
-    " count(*) AS cnt FROM (SELECT unnest(string_split(text,' ')) AS token"
-    " FROM documents) GROUP BY 1)"
-)
-# (fixed nested form below — DuckDB needs the inner unnest first)
-TOKEN_IDS_SQL = (
-    "SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)"
     " AS token_id FROM ("
     "  SELECT token, count(*) AS cnt FROM ("
     "    SELECT unnest(string_split(text, ' ')) AS token FROM documents"

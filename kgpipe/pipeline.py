@@ -34,6 +34,21 @@ def surfaces_from_dims(alias_map: DataFrame, mention_counts: DataFrame) -> list:
     return [r["s"] for r in a.unionByName(b).distinct().collect()]
 
 
+def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
+               mention_counts: DataFrame) -> dict:
+    """KB-construction sub-pipeline (the reference's preprocess_wikidata/
+    preprocess_mention_dicts stage): derive and return the broadcastable
+    lookup dims + the gazetteer surface list. Separate from the per-turn
+    pipeline because it is KB-sized constant work, amortized over the
+    corpus — benchmark the two independently."""
+    return {
+        "title_map": build_title_map(entity_kb),
+        "alias_map": (am := build_alias_map(entity_kb)),
+        "kb_context": build_kb_context(entity_kb, kb_args),
+        "surfaces": surfaces_from_dims(am, mention_counts),
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -48,13 +63,16 @@ def run_pipeline(
     max_candidates: int = 8,
     ensemble_seeds: int = 1,
     work_dir: str | None = None,
+    dims: dict | None = None,
 ) -> dict:
     """Returns dict of stage DataFrames: turns, mentions, candidates,
-    linked, enriched, classified, triples."""
-    title_map = build_title_map(entity_kb)
-    alias_map = build_alias_map(entity_kb)
-    kb_context = build_kb_context(entity_kb, kb_args)
-    surfaces = surfaces_from_dims(alias_map, mention_counts)
+    linked, enriched, classified, triples. Pass `dims` (from
+    build_dims) to reuse prebuilt KB lookups across runs."""
+    dims = dims or build_dims(spark, entity_kb, kb_args, mention_counts)
+    title_map = dims["title_map"]
+    alias_map = dims["alias_map"]
+    kb_context = dims["kb_context"]
+    surfaces = dims["surfaces"]
 
     turns = tokenize(with_turn_order(transcripts))
     if check_invariants:
