@@ -689,6 +689,70 @@ SELECT c_custkey, c_name, total_spent, n_orders, rk FROM (
 """
 
 
+def q_salted_counts(spark, sf_dir):
+    """Skew-tamed two-phase aggregation (SURVEY.md §4 salting): counts
+    per event_type via (key, salt) pre-aggregation + combine. The
+    oracle is the plain GROUP BY — the equality IS the correctness
+    claim (salting must not change results)."""
+    from kgpipe.triples import salted_subject_counts
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.col("event_id").cast("string").alias("obj"),
+    )
+    return salted_subject_counts(ev, n_salts=16).select(
+        F.col("subj").alias("event_type"), F.col("n_triples").alias("n")
+    )
+
+
+Q_SALTED_COUNTS_SQL = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+def q_per_word_errors(spark, sf_dir):
+    """A7 per-word TP/FP/FN/TN error dictionary over a deterministic
+    tagging of document tokens (gold = lexicon hit, pred = a shifted
+    lexicon — so all four cells are populated)."""
+    from kgpipe.metrics import per_word_errors
+
+    pred_lex = LEXICON[:4] + ["table", "sort"]
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .withColumn(
+            "gold_tag",
+            F.when(F.col("word").isin(LEXICON), F.lit("B-X")).otherwise(F.lit("O")),
+        )
+        .withColumn(
+            "pred_tag",
+            F.when(F.col("word").isin(pred_lex), F.lit("B-X")).otherwise(F.lit("O")),
+        )
+    )
+    return per_word_errors(toks).select(
+        "word",
+        F.col("tp").cast("long").alias("tp"), F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"), F.col("tn").cast("long").alias("tn"),
+    )
+
+
+_PRED_LEX = ", ".join(f"'{w}'" for w in (LEXICON[:4] + ["table", "sort"]))
+Q_PER_WORD_ERRORS_SQL = f"""
+SELECT word,
+  CAST(sum(CASE WHEN gold_tag != 'O' AND gold_tag = pred_tag THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN gold_tag = 'O' AND pred_tag != 'O' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN gold_tag != 'O' AND pred_tag != gold_tag THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(sum(CASE WHEN gold_tag = 'O' AND pred_tag = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM (
+  SELECT word,
+         CASE WHEN word IN ({_LEX}) THEN 'B-X' ELSE 'O' END AS gold_tag,
+         CASE WHEN word IN ({_PRED_LEX}) THEN 'B-X' ELSE 'O' END AS pred_tag
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+) GROUP BY word
+"""
+
+
 QUERIES = {
     "q01_turn_order": (q_turn_order, Q_TURN_ORDER_SQL),
     "q02_token_mentions": (q_token_mentions, Q_TOKEN_MENTIONS_SQL),
@@ -713,6 +777,8 @@ QUERIES = {
     "q21_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "q22_pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
     "q23_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
+    "q26_salted_counts": (q_salted_counts, Q_SALTED_COUNTS_SQL),
+    "q27_per_word_errors": (q_per_word_errors, Q_PER_WORD_ERRORS_SQL),
 }
 
 
