@@ -20,6 +20,40 @@ from kgpipe.schemas import LANGUAGES2SAVE, PROPS
 
 DISAMBIG_DESCRIPTIONS = ["Wikimedia disambiguation page", "Wikimedia list article"]
 
+# 14-QID P31/P279 blocklist of page-less wikidata classes
+# (preprocess_wikidata.py:22-38)
+NOPAGE = [
+    "Q4167836", "Q24046192", "Q20010800", "Q11266439", "Q11753321",
+    "Q19842659", "Q21528878", "Q17362920", "Q14204246", "Q21025364",
+    "Q17442446", "Q26267864", "Q4663903", "Q15184295",
+]
+
+
+def compress_wikidata_dump(raw: DataFrame) -> DataFrame:
+    """S3 wikidata dump compress (preprocess_wikidata.py:80-135): from a
+    raw dump-shaped frame (qid, labels, descriptions, sitelinks,
+    aliases, instance_of array, subclass_of array) keep only entity_kb
+    columns, dropping NOPAGE-class items (P7) and items without
+    sitelinks (P8). Declarative select/filter — at dump scale (1 TB
+    jsonl) this is a single pruned scan with pushed filters."""
+    nopage = F.array(*[F.lit(q) for q in NOPAGE])
+    classes = F.concat(
+        F.coalesce(F.col("instance_of"), F.expr("array()").cast("array<string>")),
+        F.coalesce(F.col("subclass_of"), F.expr("array()").cast("array<string>")),
+    )
+    return (
+        raw.filter(~F.arrays_overlap(classes, nopage))                 # P7
+        .filter(F.size(F.map_keys(F.col("sitelinks"))) > 0)           # P8
+        .select("qid", "labels", "descriptions", "sitelinks", "aliases")
+    )
+
+
+def exclude_pairs(train: DataFrame, test: DataFrame,
+                  keys=("mention", "qid")) -> DataFrame:
+    """J10 tr2016-style exclusion (preprocess_mgenre.py:140-144): drop
+    training pairs present in the test set — left anti-join."""
+    return train.join(test.select(*keys).distinct(), list(keys), "left_anti")
+
 
 def qid_num(col):
     """Numeric part of a QID for the max-QID tiebreak (run_genre.py:283-285)."""

@@ -10,6 +10,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def align_gold_pred(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """J8 gold/pred alignment (eval_utils.py:171-270 create_eval_file):
+    token rows (sentence_id, token_idx, word, tag) from two sources,
+    full-outer joined on position; missing predictions padded 'O'.
+    Output: (sentence_id, token_idx, word, gold_tag, pred_tag)."""
+    g = gold.select("sentence_id", "token_idx", "word",
+                    F.col("tag").alias("gold_tag"))
+    p = pred.select("sentence_id", "token_idx",
+                    F.col("tag").alias("pred_tag"))
+    return (
+        g.join(p, ["sentence_id", "token_idx"], "full_outer")
+        .withColumn("pred_tag", F.coalesce("pred_tag", F.lit("O")))
+        .withColumn("gold_tag", F.coalesce("gold_tag", F.lit("O")))
+    )
+
+
 def confusion_matrix(df: DataFrame, true_col: str = "true_label",
                      pred_col: str = "pred_label") -> DataFrame:
     """A6 (run_text_classification.py:39-63): true×pred counts, wide

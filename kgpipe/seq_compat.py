@@ -1,0 +1,128 @@
+"""Sequence-compat operators (SURVEY.md §2.3 Q4/Q5): markup→BIO decode
+for seq2seq-style outputs and token-subsequence search with a
+normalization fallback. Pure per-row functions + Arrow-batched UDF
+wrappers; only needed for interop with the reference's auxiliary
+formats (utils.py:96-144, :267-321).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from typing import List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def _split_markup(tag_regex: re.Pattern, text: str) -> List[str]:
+    """Whitespace-split while separating markup tags glued onto words
+    (split_sentence semantics, utils.py:8-38). Emitted tags are wrapped
+    so they aren't re-scanned; fragments re-enter the queue."""
+    queue: List[object] = list(text.strip().split())
+    out: List[str] = []
+    while queue:
+        w = queue.pop(0)
+        if isinstance(w, tuple):  # already-extracted tag
+            out.append(w[1])
+            continue
+        m = tag_regex.search(w)
+        if not m:
+            out.append(w)
+            continue
+        left, tag, right = w[: m.start()].strip(), m.group(0), w[m.end():].strip()
+        items: List[object] = []
+        if left:
+            items.append(left)
+        items.append(("tag", tag))
+        if right:
+            items.append(right)
+        queue[:0] = items
+    return out
+
+
+def markup_to_bio(text: str, possible_labels: List[str]) -> Tuple[List[str], List[str]]:
+    """Q4: '<Person>Obama</Person> went to <Location>New York</Location>'
+    → (['Obama','went','to','New','York'],
+       ['B-Person','O','O','B-Location','I-Location'])
+    (labelled_sentence_2_iob2 semantics, utils.py:96-144)."""
+    tag_regex = re.compile("</?(" + "|".join(map(re.escape, possible_labels)) + ")>")
+    words: List[str] = []
+    tags: List[str] = []
+    inside, current, first = False, "", True
+    for tok in _split_markup(tag_regex, text):
+        m = tag_regex.match(tok)
+        if m and m.group(0) == tok:
+            if tok.startswith("</"):
+                inside = False
+            else:
+                inside, current, first = True, tok[1:-1], True
+        else:
+            if inside:
+                tags.append(("B-" if first else "I-") + current)
+                first = False
+            else:
+                tags.append("O")
+            words.append(tok)
+    return words, tags
+
+
+def subfinder(tokens: List[str], pattern: List[str],
+              tags: Optional[List[str]] = None) -> List[int]:
+    """Q5 token-subsequence search (utils.py:267-321 semantics): exact
+    pass, then a lowercased punctuation-stripped fallback; with `tags`,
+    matched positions must all be 'O'."""
+    def scan(lst: List[str], pat: List[str], tg) -> List[int]:
+        hits = []
+        limit = len(lst) if tg is None else min(len(lst), len(tg))
+        for i in range(limit):
+            if lst[i] != pat[0]:
+                continue
+            if lst[i:i + len(pat)] != pat:
+                continue
+            if tg is not None and any(
+                tg[j] != "O" for j in range(i, min(i + len(pat), len(tg)))
+            ):
+                continue
+            hits.append(i)
+        return hits
+
+    if not pattern:
+        return []
+    hits = scan(tokens, pattern, tags)
+    if hits:
+        return hits
+    norm_tokens = [t.lower().translate(_PUNCT_TABLE) for t in tokens]
+    norm_tokens = [t for t in norm_tokens if t]
+    norm_pattern = [p.lower().translate(_PUNCT_TABLE) for p in pattern]
+    norm_pattern = [p for p in norm_pattern if p]
+    if not norm_pattern or not norm_tokens:
+        return []
+    # note: after dropping empty tokens the positions refer to the
+    # normalized list (reference behavior — utils.py:292-318)
+    return scan(norm_tokens, norm_pattern, tags)
+
+
+MARKUP_SCHEMA = StructType([
+    StructField("words", ArrayType(StringType())),
+    StructField("tags", ArrayType(StringType())),
+])
+
+
+def markup_to_bio_udf(possible_labels: List[str]):
+    @F.pandas_udf(MARKUP_SCHEMA)
+    def udf(col: pd.Series) -> pd.DataFrame:
+        pairs = [markup_to_bio(x, possible_labels) for x in col]
+        return pd.DataFrame({"words": [p[0] for p in pairs],
+                             "tags": [p[1] for p in pairs]})
+    return udf
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def subfinder_udf(tokens: pd.Series, pattern: pd.Series) -> pd.Series:
+    return pd.Series([
+        subfinder(list(t), list(p)) for t, p in zip(tokens, pattern)
+    ])

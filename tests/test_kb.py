@@ -123,3 +123,36 @@ def test_canonical_titles(spark):
                                "qid string, langs array<string>")
     out = build_canonical_titles(kb, pr).collect()
     assert (out[0]["lang"], out[0]["title"]) == ("de", "Alpha (de)")
+
+
+def test_compress_wikidata_dump(spark):
+    from kgpipe.kb import compress_wikidata_dump
+
+    rows = [
+        ("Q1", {"en": "A"}, {"en": "d"}, {"en": "A"}, {},
+         ["Q5"], []),                       # kept
+        ("Q2", {"en": "B"}, {"en": "d"}, {"en": "B"}, {},
+         ["Q4167836"], []),                 # NOPAGE P31 → dropped (P7)
+        ("Q3", {"en": "C"}, {"en": "d"}, {}, {},
+         ["Q5"], []),                       # no sitelinks → dropped (P8)
+        ("Q4", {"en": "D"}, {"en": "d"}, {"en": "D"}, {},
+         [], ["Q24046192"]),                # NOPAGE P279 → dropped (P7)
+    ]
+    schema = ("qid string, labels map<string,string>,"
+              " descriptions map<string,string>, sitelinks map<string,string>,"
+              " aliases map<string,array<string>>,"
+              " instance_of array<string>, subclass_of array<string>")
+    raw = spark.createDataFrame(rows, schema)
+    kept = {r["qid"] for r in compress_wikidata_dump(raw).collect()}
+    assert kept == {"Q1"}
+
+
+def test_exclude_pairs(spark):
+    from kgpipe.kb import exclude_pairs
+
+    train = spark.createDataFrame(
+        [("m1", "Q1", 1), ("m2", "Q2", 2)], "mention string, qid string, x int"
+    )
+    test = spark.createDataFrame([("m1", "Q1")], "mention string, qid string")
+    out = {r["mention"] for r in exclude_pairs(train, test).collect()}
+    assert out == {"m2"}

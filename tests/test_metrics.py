@@ -115,3 +115,19 @@ def test_relaxed_overlap_matrix(spark):
     out = {(r["gold_type"], r["pred_type"]): r["n"]
            for r in relaxed_overlap_matrix(pred, gold).collect()}
     assert out == {("PER", "ORG"): 1}  # (5,6) doesn't overlap (0,3)
+
+
+def test_align_gold_pred_padding(spark):
+    from kgpipe.metrics import align_gold_pred
+
+    gold = spark.createDataFrame(
+        [(0, 0, "a", "B-X"), (0, 1, "b", "O"), (0, 2, "c", "I-X")],
+        "sentence_id int, token_idx int, word string, tag string",
+    )
+    pred = spark.createDataFrame(
+        [(0, 0, "a", "B-X"), (0, 1, "b", "B-Y")],
+        "sentence_id int, token_idx int, word string, tag string",
+    )
+    out = {r["token_idx"]: (r["gold_tag"], r["pred_tag"])
+           for r in align_gold_pred(gold, pred).collect()}
+    assert out == {0: ("B-X", "B-X"), 1: ("O", "B-Y"), 2: ("I-X", "O")}
