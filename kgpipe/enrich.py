@@ -30,15 +30,20 @@ from kgpipe.schemas import (
 )
 
 
-def accept_and_enrich(
+def acceptance_decisions(
     linked: DataFrame,
     kb_context: DataFrame,
     wiki_summaries: DataFrame,
     language: str = "en",
 ) -> DataFrame:
-    """linked(mention_id, genre_prediction, ...) → + (link_qid, accepted,
-    accepted_lang, wikidata_summary, wikidata_arguments, wikipedia_title,
-    wikipedia_summary)."""
+    """The per-mention acceptance/enrichment decision frame (one row
+    per mention_id): accepted_qid, accepted_lang, wikidata_summary,
+    wikidata_arguments, arg_pairs, wikipedia_title, wikipedia_summary.
+
+    Split out from accept_and_enrich so callers can materialize it
+    before the fold-back join — the fused decision+join plan degrades
+    ~3× at high parallelism (same pathology as the linking stage, see
+    pipeline.py)."""
     if language == "multi":  # get_wikidata.py:355-359
         language = "en"
 
@@ -125,8 +130,27 @@ def accept_and_enrich(
         )
         .drop("summary")
     )
+    return with_summary
 
-    out = linked.join(with_summary, "mention_id", "left").withColumn(
+
+def attach_decisions(linked: DataFrame, decisions: DataFrame) -> DataFrame:
+    """Fold the per-mention decision frame back onto the mention rows;
+    mentions with no accepted candidate get the Q0 link sentinel."""
+    return linked.join(decisions, "mention_id", "left").withColumn(
         "link_qid", F.coalesce("accepted_qid", F.lit(Q0))
     )
-    return out
+
+
+def accept_and_enrich(
+    linked: DataFrame,
+    kb_context: DataFrame,
+    wiki_summaries: DataFrame,
+    language: str = "en",
+) -> DataFrame:
+    """linked(mention_id, genre_prediction, ...) → + (link_qid,
+    accepted_qid, accepted_lang, wikidata_summary, wikidata_arguments,
+    wikipedia_title, wikipedia_summary). Composition of
+    acceptance_decisions + attach_decisions."""
+    return attach_decisions(
+        linked, acceptance_decisions(linked, kb_context, wiki_summaries, language)
+    )

@@ -145,7 +145,16 @@ def run_pipeline(
                    "hypotheses")
         ranked = cut(marginalize(hyps), "ranked")
         linked = cut(predictions_per_mention(mentions, ranked), "linked")
-        enriched = cut(stage_enrich(linked), "enriched")
+        # enrich split the same way: decision aggregation cut before the
+        # fold-back join (fused, it degrades ~3× at 32 cores)
+        from kgpipe.enrich import acceptance_decisions, attach_decisions
+
+        decisions = cut(
+            acceptance_decisions(linked, kb_context, wiki_summaries,
+                                 language=language),
+            "decisions",
+        )
+        enriched = cut(attach_decisions(linked, decisions), "enriched")
 
     if ensemble_seeds > 1:
         from kgpipe.classify import classify_ensemble
