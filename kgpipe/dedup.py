@@ -117,8 +117,11 @@ def minhash_signatures(df: DataFrame, token_ids: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct("tokens")).alias("token"))
         .join(F.broadcast(token_ids.select("token", "token_id")), "token")
     )
+    # cast to long BEFORE multiplying: token_id is IntegerType and
+    # a·token_id overflows int32 past ~307k vocabulary entries (ANSI
+    # mode throws); the DuckDB oracle already computes in BIGINT
     aggs = [
-        F.min((F.col("token_id") * a + b) % MINHASH_P).alias(f"minh_{j}")
+        F.min((F.col("token_id").cast("long") * a + b) % MINHASH_P).alias(f"minh_{j}")
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
     sig = toks.groupBy("doc_id").agg(*aggs)

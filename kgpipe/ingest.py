@@ -33,18 +33,28 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     running sum over blank-line separators.
 
     Note the file-order dependency: sentence ids are positional, so the
-    scan orders by the text source's line offsets. At 100 TB you'd
-    never ship CoNLL — this is the compat path; the running-sum window
-    is a single global sort, acceptable for dim-scale files.
+    scan must follow (file path, line offset) order. `spark.read.text`
+    packs splits into partitions by SIZE, not path order, so
+    monotonically_increasing_id alone misorders multi-file globs; we
+    read wholetext per file and derive a per-file line index instead —
+    (file, line_no) is deterministic regardless of split packing. At
+    100 TB you'd never ship CoNLL — this is the compat path; the
+    running-sum window is a single global sort, acceptable for
+    dim-scale files.
     """
-    lines = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("line_no"), "value"
+    lines = (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("file"), "value")
+        .select("file", F.posexplode(F.split("value", "\n")).alias("line_no", "value"))
     )
-    w = Window.orderBy("line_no")
+    # per-file running sum: file boundaries always break sentences (the
+    # reference reads files one at a time), and the window is
+    # partitioned, not global
+    w = Window.partitionBy("file").orderBy("line_no")
     grouped = (
         lines
         .withColumn("is_blank", (F.trim("value") == "").cast("int"))
-        .withColumn("sentence_id",
+        .withColumn("sid_in_file",
                     (F.sum("is_blank").over(w) - F.col("is_blank")).cast("int"))
         .filter(F.col("is_blank") == 0)
         # P4 comment/DOCSTART filter
@@ -64,22 +74,25 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     )
     return (
         grouped
-        .groupBy("sentence_id")
+        .groupBy("file", "sid_in_file")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("line_no", "word", "label"))
             ).alias("rows")
         )
         .select(
-            "sentence_id",
+            "file", "sid_in_file",
             F.expr("transform(rows, r -> r.word)").alias("words"),
             F.expr("transform(rows, r -> r.label)").alias("labels"),
         )
-        # renumber densely in file order (blank-run tolerance)
+        # renumber densely in (file path, offset) order — deterministic
+        # across split packing and multi-file globs (blank-run tolerance)
         .withColumn(
             "sentence_id",
-            (F.row_number().over(Window.orderBy("sentence_id")) - 1).cast("int"),
+            (F.row_number().over(Window.orderBy("file", "sid_in_file")) - 1)
+            .cast("int"),
         )
+        .select("sentence_id", "words", "labels")
     )
 
 

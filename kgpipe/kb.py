@@ -250,46 +250,104 @@ def resolve_titles(df: DataFrame, title_map: DataFrame,
 def resolution_cascade(anchors: DataFrame, title_map: DataFrame,
                        redirect_closure: DataFrame, alias_map: DataFrame) -> DataFrame:
     """J4 3-way cascade with provenance (get_wikidata_ids,
-    GENRE/genre/utils.py:439-488): direct title hit → 'simple';
-    redirect-chased title hit → 'wikipedia'; lowercase alias hit →
-    'wikidata'; else null. Input rows: (anchor, lang). Adds
-    (resolved_qid, provenance).
+    GENRE/genre/utils.py:470-488), faithful to the reference's actual
+    control flow:
 
-    (The reference's search_simple quirkily probes the alias dict with a
-    (lang,title) tuple — a dead branch; we implement the intended
-    title-map probe.)
+    1. search_simple (utils.py:439-450): http anchors and anchors that
+       normalize to "" short-circuit with provenance 'simple' and NO
+       qids. Its title probe is a dead branch (it probes the
+       label_or_alias dict with a (lang,title) tuple that can never be
+       a key), so 'simple' never resolves anything — but its
+       NORMALIZATION is load-bearing: unquote(anchor), split('#')[0],
+       '_'→' ', first-char uppercase.
+    2. search_wikipedia (utils.py:453-463): redirect-chase the
+       normalized title (≤10 hops — the precomputed closure), THEN
+       probe the title map with the chased title → 'wikipedia'.
+    3. search_wikidata (utils.py:466-467): probe the alias map with
+       lower(chased title) → 'wikidata' (even when the probe is empty,
+       matching the reference's unconditional last return).
+
+    Input rows: (lang, anchor, ...). Adds resolved_qids (the full QID
+    set, numerically sorted), resolved_qid (max-numeric-QID tiebreak,
+    J1 convention), provenance.
     """
-    tm = F.broadcast(title_map)
-    direct = anchors.join(
-        tm.withColumnRenamed("title", "anchor"), ["lang", "anchor"], "left"
-    ).groupBy(*anchors.columns).agg(
-        F.max_by("qid", qid_num(F.col("qid"))).alias("simple_qid")
+    base_cols = anchors.columns
+    # Python's unquote leaves '+' intact; the JVM url_decode would turn
+    # it into a space — protect it. Invalid %-sequences → NULL → keep
+    # the raw anchor (Python leaves them as-is).
+    unq = F.coalesce(
+        F.expr("try_url_decode(replace(anchor, '+', '%2B'))"), F.col("anchor")
+    )
+    norm = F.replace(F.substring_index(unq, "#", 1), F.lit("_"), F.lit(" "))
+    a = (
+        anchors
+        .withColumn("_norm", norm)
+        .withColumn("_skip",
+                    F.col("anchor").contains("http") | (F.col("_norm") == ""))
+        .withColumn(
+            "chase_key",
+            F.when(
+                ~F.col("_skip"),
+                F.concat(F.upper(F.substring("_norm", 1, 1)),
+                         F.expr("substring(_norm, 2)")),
+            ),
+        )
+        .drop("_norm")
     )
 
-    chased = direct.join(
-        F.broadcast(redirect_closure.withColumnRenamed("src_title", "anchor")),
-        ["lang", "anchor"], "left",
-    ).withColumn("chase_title", F.coalesce("final_title", "anchor")).drop("final_title")
+    # redirect chase FIRST (every non-skipped anchor is chased because
+    # search_simple never matches), then the title probe on the chased
+    # title
+    chased = a.join(
+        F.broadcast(redirect_closure.select(
+            "lang", F.col("src_title").alias("chase_key"), "final_title")),
+        ["lang", "chase_key"], "left",
+    ).withColumn(
+        "chase_title", F.coalesce("final_title", "chase_key")
+    ).drop("final_title", "chase_key")
 
+    tm = F.broadcast(title_map)
     wiki = chased.join(
         tm.withColumnRenamed("title", "chase_title"),
         ["lang", "chase_title"], "left",
-    ).groupBy(*[c for c in chased.columns]).agg(
-        F.max_by("qid", qid_num(F.col("qid"))).alias("wikipedia_qid")
+    ).groupBy(*chased.columns).agg(
+        F.collect_set("qid").alias("wiki_qids")
     )
 
-    am = F.broadcast(alias_map)
+    # rename the alias qid: alias_map and title_map usually share
+    # lineage (both built from entity_kb), which trips the ambiguous-
+    # self-join check otherwise
+    am = F.broadcast(alias_map.select(
+        "alias_lc", F.col("qid").alias("_alias_qid")))
     final = wiki.join(
-        am, F.lower(wiki["anchor"]) == am["alias_lc"], "left"
-    ).groupBy(*[c for c in wiki.columns]).agg(
-        F.max_by("qid", qid_num(F.col("qid"))).alias("wikidata_qid")
+        am, F.lower(wiki["chase_title"]) == am["alias_lc"], "left"
+    ).groupBy(*wiki.columns).agg(
+        F.collect_set("_alias_qid").alias("alias_qids")
     )
 
-    return final.select(
-        *anchors.columns,
-        F.coalesce("simple_qid", "wikipedia_qid", "wikidata_qid").alias("resolved_qid"),
-        F.when(F.col("simple_qid").isNotNull(), F.lit("simple"))
-        .when(F.col("wikipedia_qid").isNotNull(), F.lit("wikipedia"))
-        .when(F.col("wikidata_qid").isNotNull(), F.lit("wikidata"))
-        .alias("provenance"),
+    picked = (
+        F.when(F.col("_skip"), F.array().cast("array<string>"))
+        .when(F.size("wiki_qids") > 0, F.col("wiki_qids"))
+        .otherwise(F.col("alias_qids"))
+    )
+    qids_sorted = F.expr(
+        "array_sort(_picked, (l, r) -> case"
+        " when cast(substring(l, 2, 18) as long)"
+        "    < cast(substring(r, 2, 18) as long) then -1"
+        " when cast(substring(l, 2, 18) as long)"
+        "    > cast(substring(r, 2, 18) as long) then 1 else 0 end)"
+    )
+    return (
+        final.withColumn("_picked", picked)
+        .withColumn("resolved_qids", qids_sorted)
+        .select(
+            *base_cols,
+            "resolved_qids",
+            # try_element_at: empty set → null (ANSI element_at throws)
+            F.expr("try_element_at(resolved_qids, -1)").alias("resolved_qid"),
+            F.when(F.col("_skip"), F.lit("simple"))
+            .when(F.size("wiki_qids") > 0, F.lit("wikipedia"))
+            .otherwise(F.lit("wikidata"))
+            .alias("provenance"),
+        )
     )

@@ -105,11 +105,19 @@ def _tag_tokens(tokens: List[str], gaz) -> List[str]:
 
 def gazetteer_tagger_udf(surfaces: List[str]):
     """Deterministic stage-1 stand-in (same contract as the XLM-R
-    tagger + 5-seed vote: tokens → IOB2 boundary tags)."""
-    gaz = build_gazetteer(surfaces)
+    tagger + 5-seed vote: tokens → IOB2 boundary tags).
+
+    The gazetteer ships as a SparkContext broadcast variable — ONE
+    executor-side copy fetched on first use — never as a UDF closure
+    capture (which would pickle the whole dict into every task)."""
+    from pyspark.sql import SparkSession
+
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast(build_gazetteer(surfaces))
 
     @F.pandas_udf(ArrayType(StringType()))
     def tag(tokens: pd.Series) -> pd.Series:
+        gaz = bc.value
         return tokens.map(lambda t: _tag_tokens(list(t), gaz))
 
     return tag
@@ -205,6 +213,84 @@ def detect_mentions(turns: DataFrame, surfaces: List[str] | None = None,
                 F.expr("slice(tokens, end + 1, size(tokens) - end)"),
             ),
         ),
+    )
+
+
+def detect_mentions_join(turns: DataFrame, surfaces_df: DataFrame,
+                         surface_col: str = "surface") -> DataFrame:
+    """Fully-distributed gazetteer tagging: same output as
+    detect_mentions(surfaces=...), but the surface universe stays a
+    DataFrame end-to-end — no driver-side collect, no dict broadcast.
+    This is the scale path for KB-sized gazetteers (10⁷–10⁸ surfaces).
+
+    Plan: posexplode turn tokens → broadcast-join the surface dim on
+    the first surface token (prunes to candidate starts) → verify the
+    full token slice as a column expression → per-turn greedy
+    longest-match resolution (matches sorted by (start asc, len desc),
+    folded left-to-right: accept iff start ≥ previous accepted end —
+    exactly the _tag_tokens scan order). The only shuffle is the
+    per-turn groupBy, keyed on (conv_id, turn_idx).
+    """
+    dim = F.broadcast(
+        surfaces_df.select(F.split(F.col(surface_col), " ").alias("s_toks"))
+        .distinct()
+        .select(
+            "s_toks",
+            F.col("s_toks")[0].alias("_first_tok"),
+            F.size("s_toks").alias("s_len"),
+        )
+    )
+    cand = (
+        turns.select(
+            "conv_id", "turn_idx", "tokens",
+            F.posexplode("tokens").alias("pos", "_first_tok"),
+        )
+        .join(dim, "_first_tok")
+        .filter(F.expr("slice(tokens, pos + 1, s_len) = s_toks"))
+        .select("conv_id", "turn_idx", "pos", "s_len")
+    )
+    # greedy longest-match fold per turn (deterministic: start asc,
+    # len desc — first match at a position is the longest)
+    resolved = (
+        cand.groupBy("conv_id", "turn_idx")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("pos", (-F.col("s_len")).alias("neg_len")))).alias("ms"))
+        .withColumn("spans_pos", F.expr(
+            "aggregate(ms,"
+            " struct(0 as nxt, cast(array() as array<struct<s:int,e:int>>) as acc),"
+            " (st, m) -> if(m.pos >= st.nxt,"
+            "   struct(m.pos - m.neg_len as nxt,"
+            "          array_append(st.acc,"
+            "            struct(m.pos as s, m.pos - m.neg_len as e)) as acc),"
+            "   st),"
+            " st -> st.acc)"
+        ))
+        .select("conv_id", "turn_idx", "spans_pos")
+    )
+    m = (
+        turns.join(resolved, ["conv_id", "turn_idx"], "inner")
+        .select(
+            "conv_id", "turn_idx", "tokens",
+            F.posexplode("spans_pos").alias("entity_id", "sp"),
+        )
+        .select(
+            "conv_id", "turn_idx", "entity_id", "tokens",
+            F.concat_ws(
+                " ", F.expr("slice(tokens, sp.s + 1, sp.e - sp.s)")
+            ).alias("text"),
+            F.col("sp.s").alias("start"),
+            F.col("sp.e").alias("end"),
+            F.lit("ENTITY").alias("fine_cat"),
+            F.lit("ENTITY").alias("general_cat"),
+        )
+        .withColumn(
+            "mention_id",
+            F.concat_ws("/", F.col("conv_id"), F.col("turn_idx"), F.col("entity_id")),
+        )
+    )
+    return m.withColumn(
+        "marked_text",
+        mark_context(F.col("tokens"), F.col("start"), F.col("end")),
     )
 
 

@@ -22,30 +22,45 @@ from kgpipe.classify import classify
 from kgpipe.enrich import accept_and_enrich
 from kgpipe.kb import build_alias_map, build_kb_context, build_title_map
 from kgpipe.linking import link_mentions, link_mentions_fast  # noqa: F401
-from kgpipe.mentions import assert_text_equality, detect_mentions, tokenize, with_turn_order
+from kgpipe.mentions import (  # noqa: F401
+    assert_text_equality, detect_mentions, detect_mentions_join, tokenize,
+    with_turn_order,
+)
 from kgpipe.triples import emit_triples
 
 
-def surfaces_from_dims(alias_map: DataFrame, mention_counts: DataFrame) -> list:
+def surfaces_df_from_dims(alias_map: DataFrame,
+                          mention_counts: DataFrame) -> DataFrame:
     """Gazetteer surface universe = known mention surface forms (the
-    stand-in tagger's 'training data'): alias map ∪ mention_counts keys."""
-    a = alias_map.select(F.col("alias_lc").alias("s"))
-    b = mention_counts.select(F.col("mention").alias("s"))
-    return [r["s"] for r in a.unionByName(b).distinct().collect()]
+    stand-in tagger's 'training data'): alias map ∪ mention_counts keys.
+    Stays a DataFrame — the tagger consumes it via broadcast JOIN, so
+    no KB-sized set is ever collected to the driver (a 10⁷–10⁸-surface
+    alias map would OOM a collected list)."""
+    a = alias_map.select(F.col("alias_lc").alias("surface"))
+    b = mention_counts.select(F.col("mention").alias("surface"))
+    return a.unionByName(b).distinct()
+
+
+def surfaces_from_dims(alias_map: DataFrame, mention_counts: DataFrame) -> list:
+    """Collected form of surfaces_df_from_dims — ONLY for fixture-scale
+    gazetteers (tests, the pandas-UDF tagger). The pipeline itself never
+    calls this; use surfaces_df_from_dims at KB scale."""
+    return [r["surface"]
+            for r in surfaces_df_from_dims(alias_map, mention_counts).collect()]
 
 
 def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
                mention_counts: DataFrame) -> dict:
     """KB-construction sub-pipeline (the reference's preprocess_wikidata/
     preprocess_mention_dicts stage): derive and return the broadcastable
-    lookup dims + the gazetteer surface list. Separate from the per-turn
+    lookup dims + the gazetteer surface dim. Separate from the per-turn
     pipeline because it is KB-sized constant work, amortized over the
     corpus — benchmark the two independently."""
     return {
         "title_map": build_title_map(entity_kb),
         "alias_map": (am := build_alias_map(entity_kb)),
         "kb_context": build_kb_context(entity_kb, kb_args),
-        "surfaces": surfaces_from_dims(am, mention_counts),
+        "surfaces_df": surfaces_df_from_dims(am, mention_counts),
     }
 
 
@@ -72,14 +87,18 @@ def run_pipeline(
     title_map = dims["title_map"]
     alias_map = dims["alias_map"]
     kb_context = dims["kb_context"]
-    surfaces = dims["surfaces"]
+    surfaces_df = dims.get("surfaces_df")
+    if surfaces_df is None:  # legacy dims dict with a collected list
+        surfaces_df = spark.createDataFrame(
+            [(s,) for s in dims["surfaces"]], "surface string")
 
     turns = tokenize(with_turn_order(transcripts))
     if check_invariants:
         assert_text_equality(turns)
 
     def stage_mentions(t: DataFrame) -> DataFrame:
-        return detect_mentions(t, surfaces=surfaces)
+        # broadcast-JOIN tagger: the surface dim never hits the driver
+        return detect_mentions_join(t, surfaces_df)
 
     def stage_link(m: DataFrame) -> DataFrame:
         # row-based operators (broadcast joins + windows): with stage
@@ -123,10 +142,12 @@ def run_pipeline(
 
         work_dir = work_dir or tempfile.mkdtemp(prefix="kgpipe-stages-")
 
+        from kgpipe.io import read_table, write_table
+
         def cut(df: DataFrame, name: str) -> DataFrame:
             path = os.path.join(work_dir, name)
-            df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
+            write_table(df, path)
+            return read_table(spark, path)
 
         mentions = cut(stage_mentions(turns), "mentions")
         # Linking is cut at every sub-step: the fused plan anti-scales

@@ -2,8 +2,9 @@
 batch-only reference): stream transcript turns, deduplicate within a
 watermark, run incremental mention detection per micro-batch, and keep
 windowed arrival metrics. The reference's chunk-boundary cache
-checkpointing (get_wikidata.py:422-428) maps to exactly-once
-foreachBatch upserts; its filled-field skip (run_genre.py:201-214) maps
+checkpointing (get_wikidata.py:422-428) maps to foreachBatch writes made
+idempotent per batch_id (at-least-once delivery + idempotent effects =
+exactly-once results); its filled-field skip (run_genre.py:201-214) maps
 to processing only the new rows each micro-batch delivers.
 """
 
@@ -48,17 +49,24 @@ def turn_rate_metrics(turns: DataFrame, window: str = "5 minutes") -> DataFrame:
 def incremental_mentions(turns: DataFrame, surfaces, checkpoint_dir: str,
                          out_path: str):
     """Micro-batch incremental mention detection: each batch runs the
-    batch operator (same code path as the pipeline — foreachBatch is
-    the exactly-once upsert boundary) and appends to the mentions
-    table. Returns the StreamingQuery (caller awaits/stops)."""
+    batch operator (same code path as the pipeline) and writes to the
+    mentions table. foreachBatch is only at-least-once, so the write
+    must be idempotent per batch_id to get exactly-once *effects*: each
+    batch overwrites its own `batch_id=N` subdirectory, so a micro-batch
+    retried after a partial write replaces it instead of duplicating
+    rows. Readers see batch_id as a partition column of out_path.
+    Returns the StreamingQuery (caller awaits/stops)."""
+    import os
+
     from kgpipe.mentions import detect_mentions, tokenize
 
     def process(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         m = detect_mentions(tokenize(batch_df), surfaces=surfaces)
-        (m.withColumn("batch_id", F.lit(batch_id))
-          .write.mode("append").parquet(out_path))
+        m.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     return (
         turns.writeStream.foreachBatch(process)

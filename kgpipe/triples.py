@@ -106,10 +106,14 @@ def salted_subject_counts(triples: DataFrame, n_salts: int = 16) -> DataFrame:
 
 
 def write_triples(triples: DataFrame, path: str, n_files: int | None = None) -> None:
-    """Partitioned parquet sink (Iceberg-shaped layout: partition on the
-    predicate family — low cardinality, prunes per-family scans; subjects
-    are hash-distributed inside each family via repartition)."""
+    """Partitioned graph-table sink: partition on the predicate family —
+    low cardinality, prunes per-family scans; subjects are
+    hash-distributed inside each family via repartition. Format routed
+    through kgpipe.io (KGPIPE_TABLE_FORMAT=iceberg on a real cluster,
+    parquet fallback in the sandbox — SURVEY.md §7.5.3)."""
+    from kgpipe.io import write_table
+
     df = triples
     if n_files:
         df = df.repartition(n_files, "subj")
-    df.write.mode("overwrite").partitionBy("pred").parquet(path)
+    write_table(df, path, partition_by=["pred"])

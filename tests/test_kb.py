@@ -68,22 +68,73 @@ def test_redirect_closure_chain_and_cycle(spark):
     assert closure["Loop A"] == title
 
 
+def _reference_get_wikidata_ids(anchor, lang, title2qids, redirect2title,
+                                alias2qids):
+    """Python twin of get_wikidata_ids (GENRE/genre/utils.py:439-488)
+    semantics, for parity assertion."""
+    from urllib.parse import unquote
+
+    # search_simple: its title probe hits the alias dict with a tuple
+    # key — dead; only http/empty short-circuit, normalization persists
+    if "http" in anchor:
+        return set(), "simple"
+    t = unquote(anchor).split("#")[0].replace("_", " ")
+    if t == "":
+        return set(), "simple"
+    t = t[0].upper() + t[1:]
+    # search_wikipedia: chase then probe
+    hops = 10
+    while (lang, t) in redirect2title and hops > 0:
+        t = redirect2title[(lang, t)]
+        hops -= 1
+    if (lang, t) in title2qids:
+        return set(title2qids[(lang, t)]), "wikipedia"
+    # search_wikidata: alias probe with lower(chased title)
+    return set(alias2qids.get(t.lower(), [])), "wikidata"
+
+
 def test_resolution_cascade_provenance(spark):
     kb = _mini_kb(spark)
     tm, am = build_title_map(kb), build_alias_map(kb)
     rd = spark.createDataFrame([("en", "Old Alpha", "Alpha")],
                                schema=schemas.REDIRECTS)
     closure = resolve_redirect_closure(rd)
-    probes = spark.createDataFrame(
-        [("en", "Alpha"), ("en", "Old Alpha"), ("en", "ALF"), ("en", "nope")],
-        "lang string, anchor string",
-    )
-    out = {r["anchor"]: (r["resolved_qid"], r["provenance"])
+    anchors = ["Alpha", "Old Alpha", "Old_Alpha#History", "%41lpha",
+               "ALF", "nope", "http://x/Alpha", "", "Old alpha"]
+    probes = spark.createDataFrame([("en", a) for a in anchors],
+                                   "lang string, anchor string")
+    out = {r["anchor"]: (set(r["resolved_qids"]), r["resolved_qid"],
+                         r["provenance"])
            for r in resolution_cascade(probes, tm, closure, am).collect()}
-    assert out["Alpha"] == ("Q50", "simple")
-    assert out["Old Alpha"] == ("Q50", "wikipedia")
-    assert out["ALF"] == ("Q5", "wikidata")
-    assert out["nope"] == (None, None)
+
+    # every anchor is redirect-chased + title-probed (search_simple's
+    # direct hit is a dead branch in the reference)
+    assert out["Alpha"] == ({"Q5", "Q50"}, "Q50", "wikipedia")
+    assert out["Old Alpha"] == ({"Q5", "Q50"}, "Q50", "wikipedia")
+    # normalization: '#'-fragment strip + '_'→' ' + percent-decode
+    assert out["Old_Alpha#History"] == ({"Q5", "Q50"}, "Q50", "wikipedia")
+    assert out["%41lpha"] == ({"Q5", "Q50"}, "Q50", "wikipedia")
+    # alias fallback probes lower(chased title)
+    assert out["ALF"] == ({"Q5"}, "Q5", "wikidata")
+    # empty alias probe still reports 'wikidata' (reference's last return)
+    assert out["nope"] == (set(), None, "wikidata")
+    # only first char is uppercased: 'Old alpha' misses the redirect
+    assert out["Old alpha"] == (set(), None, "wikidata")
+    # http / empty short-circuit with provenance 'simple'
+    assert out["http://x/Alpha"] == (set(), None, "simple")
+    assert out[""] == (set(), None, "simple")
+
+    # parity with the Python twin of the reference functions
+    title2qids, redirect2title, alias2qids = {}, {("en", "Old Alpha"): "Alpha"}, {}
+    for r in tm.collect():
+        title2qids.setdefault((r["lang"], r["title"]), set()).add(r["qid"])
+    for r in am.collect():
+        alias2qids.setdefault(r["alias_lc"], set()).add(r["qid"])
+    for a in anchors:
+        qids, prov = _reference_get_wikidata_ids(
+            a, "en", title2qids, redirect2title, alias2qids)
+        assert out[a][0] == qids, a
+        assert out[a][2] == prov, a
 
 
 def test_kb_context_disambig_blanked_and_arg_order(spark):

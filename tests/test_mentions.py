@@ -98,3 +98,33 @@ def test_text_equality_invariant(spark, fixture_set):
     df = tokenize(with_turn_order(fixture_set["transcripts"]))
     bad = df.filter(~F.col("text_roundtrip_ok")).count()
     assert bad == 0
+
+
+def test_detect_mentions_join_equivalence(spark):
+    """The distributed broadcast-join tagger must produce exactly the
+    pandas-UDF gazetteer tagger's mention rows (greedy longest-match,
+    overlaps, adjacency, enumeration order)."""
+    from kgpipe.mentions import detect_mentions_join
+
+    surfaces = ["eli lilly", "eli", "new york", "iker", "york city hall"]
+    rows = [
+        ("c1", 0, "user", "eli lilly and eli met in new york", None,
+         datetime(2026, 1, 1)),
+        # overlap chain: 'new york' beats 'york city hall' at pos 1
+        ("c1", 1, "user", "in new york city hall today", None,
+         datetime(2026, 1, 1)),
+        ("c2", 0, "user", "iker spoke then eli eli lilly", None,
+         datetime(2026, 1, 1)),
+        ("c2", 1, "user", "nothing here", None, datetime(2026, 1, 1)),
+    ]
+    df = tokenize(with_turn_order(
+        spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)))
+    cols = ["conv_id", "turn_idx", "entity_id", "mention_id", "text",
+            "start", "end", "fine_cat", "general_cat", "marked_text"]
+    udf_out = [tuple(r) for r in detect_mentions(df, surfaces=surfaces)
+               .select(*cols).orderBy("mention_id").collect()]
+    surf_df = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    join_out = [tuple(r) for r in detect_mentions_join(df, surf_df)
+                .select(*cols).orderBy("mention_id").collect()]
+    assert udf_out == join_out
+    assert len(udf_out) >= 6
