@@ -753,6 +753,159 @@ FROM (
 """
 
 
+# ------------------------------------------------- flagship oracles
+# q24/q25 were rows-only in round 1; both are now DuckDB-verified.
+
+SPAN_SURFACES = ["hash join", "table scan", "spark", "window", "merge part"]
+
+
+def _span_matches_sql(surfaces) -> str:
+    """Match-extraction arms for the fixed gazetteer. Valid as a greedy
+    longest-match oracle ONLY because the surface token sets are
+    pairwise disjoint (asserted below): no two matches can share a
+    start or overlap, so greedy == all matches."""
+    all_toks = [t for s in surfaces for t in s.split(" ")]
+    assert len(all_toks) == len(set(all_toks)), "overlap-free gazetteer required"
+    arms = []
+    for s in surfaces:
+        toks = s.split(" ")
+        n = len(toks)
+        conds = [f"tk[i] = '{toks[0]}'"]
+        if n > 1:
+            conds.append(f"i + {n - 1} <= len(tk)")
+            conds += [f"tk[i + {j}] = '{t}'" for j, t in enumerate(toks[1:], 1)]
+        arms.append(
+            f"SELECT conv_id, turn_idx, tk, i, {n} AS mlen, '{s}' AS mtext"
+            f" FROM pos WHERE {' AND '.join(conds)}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+_SPAN_CORE_SQL = f"""
+tr AS ({TRANSCRIPTS_SQL}),
+toks AS (SELECT conv_id, turn_idx, string_split(text, ' ') AS tk FROM tr),
+pos AS (SELECT conv_id, turn_idx, tk, unnest(range(1, len(tk) + 1)) AS i
+        FROM toks),
+matches AS ({_span_matches_sql(SPAN_SURFACES)}),
+spans AS (
+  SELECT conv_id, turn_idx, tk, i, mlen, mtext,
+         CAST(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1
+              AS INT) AS eid
+  FROM matches
+)"""
+
+Q_SPAN_MENTIONS_SQL = f"""
+WITH {_SPAN_CORE_SQL}
+SELECT conv_id, turn_idx, eid AS entity_id,
+       conv_id || '/' || CAST(turn_idx AS VARCHAR) || '/'
+               || CAST(eid AS VARCHAR) AS mention_id,
+       mtext AS text,
+       CAST(i - 1 AS INT) AS start,
+       CAST(i - 1 + mlen AS INT) AS "end",
+       array_to_string(
+         tk[1:i-1] || ['[START]'] || tk[i:i+mlen-1] || ['[END]'] || tk[i+mlen:],
+         ' ') AS marked_text
+FROM spans
+"""
+
+
+def _kg_triples_sql() -> str:
+    """DuckDB twin of q_kg_triples: same inline KB, single candidate per
+    lexicon word (J5/A1/W2 collapse to the identity when |candidates|=1;
+    those operators are hash-verified separately by q03/q04/q20-style
+    queries), acceptance always succeeds at rank 0 in 'en' (labels +
+    descriptions both cover 'en', never disambig), classification is the
+    keyword-count argmax over the assembled feature text."""
+    from kgpipe.classify import DEFAULT_KEYWORDS, FALLBACK_LABEL
+
+    cats = ["Software", "TechCorp", "Facility", "OtherPROD", "Scientist",
+            "MusicalWork", "Disease"]
+    kb_vals = []
+    for i, w in enumerate(LEXICON):
+        qid = f"Q{1000 + i * 3}"
+        summary = f"{cats[i % len(cats)].lower()} about {w}"
+        arg_label = LEXICON[(i + 1) % len(LEXICON)].title()
+        kb_vals.append(
+            f"('{w}', '{qid}', '{w.title()}', '{summary}',"
+            f" '{arg_label}', 'summary page for {w}')"
+        )
+    kw_vals = ", ".join(
+        f"('{v}', '{k}')" for k, v in sorted(DEFAULT_KEYWORDS.items())
+    )
+    lex = ", ".join(f"'{w}'" for w in LEXICON)
+    return f"""
+WITH tr AS ({TRANSCRIPTS_SQL}),
+toks AS (SELECT conv_id, turn_idx, string_split(text, ' ') AS tk FROM tr),
+pos AS (SELECT conv_id, turn_idx, tk, unnest(range(1, len(tk) + 1)) AS i
+        FROM toks),
+mentions AS (
+  SELECT conv_id, turn_idx, tk, i, tk[i] AS w,
+         CAST(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1
+              AS INT) AS eid
+  FROM pos WHERE tk[i] IN ({lex})
+),
+kb(w, qid, title, summary, arg_label, wiki_summary) AS (
+  VALUES {", ".join(kb_vals)}
+),
+feats AS (
+  SELECT m.conv_id, m.turn_idx, m.eid, m.i, m.w,
+         kb.qid, kb.title, kb.summary, kb.arg_label,
+         lower(
+           array_to_string(
+             m.tk[1:m.i-1] || ['[START_ENT]', m.w, '[END_ENT]'] || m.tk[m.i+1:],
+             ' ')
+           || ' [TAB] ' || kb.summary
+           || ' [TAB] ' || kb.arg_label
+           || ' [TAB] ' || kb.wiki_summary
+         ) AS feat
+  FROM mentions m JOIN kb ON m.w = kb.w
+),
+kw(tok, cat) AS (VALUES {kw_vals}),
+hits AS (
+  SELECT conv_id, turn_idx, eid, cat, count(*) AS cnt
+  FROM (SELECT conv_id, turn_idx, eid,
+               unnest(string_split(feat, ' ')) AS tok FROM feats) ft
+  JOIN kw USING (tok)
+  GROUP BY conv_id, turn_idx, eid, cat
+),
+best AS (
+  SELECT conv_id, turn_idx, eid, cat FROM (
+    SELECT conv_id, turn_idx, eid, cat,
+           row_number() OVER (PARTITION BY conv_id, turn_idx, eid
+                              ORDER BY cnt DESC, cat ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+),
+classified AS (
+  SELECT f.*, coalesce(b.cat, '{FALLBACK_LABEL}') AS pred_label,
+         'mention:' || f.conv_id || '/' || CAST(f.turn_idx AS VARCHAR)
+                    || '/' || CAST(f.eid AS VARCHAR) AS uri
+  FROM feats f LEFT JOIN best b
+    ON f.conv_id = b.conv_id AND f.turn_idx = b.turn_idx AND f.eid = b.eid
+)
+SELECT uri AS subj, 'links_to' AS pred, qid AS obj FROM classified
+UNION ALL
+SELECT uri, 'has_category', pred_label FROM classified
+UNION ALL
+SELECT uri, 'mentioned_in',
+       conv_id || '/' || CAST(turn_idx AS VARCHAR) || '/'
+               || CAST(i - 1 AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+FROM classified
+UNION ALL
+SELECT subj, pred, obj FROM (
+  SELECT DISTINCT qid AS subj, 'described_as' AS pred, summary AS obj
+  FROM classified
+  UNION
+  SELECT DISTINCT qid, 'titled', title FROM classified
+  UNION
+  SELECT DISTINCT qid, 'instance_of', arg_label FROM classified
+)
+"""
+
+
+Q_KG_TRIPLES_SQL = _kg_triples_sql()
+
+
 QUERIES = {
     "q01_turn_order": (q_turn_order, Q_TURN_ORDER_SQL),
     "q02_token_mentions": (q_token_mentions, Q_TOKEN_MENTIONS_SQL),
@@ -782,17 +935,16 @@ QUERIES = {
 }
 
 
-# rows-only queries (no SQL oracle: pandas-UDF sequence ops / KG pipeline)
-
 def q_span_mentions(spark, sf_dir):
     """Q1/Q2 over the transcript stand-in with a fixed gazetteer
-    (multi-token surfaces included) — pandas-UDF state machine, hence
-    rows-only check."""
+    (multi-token surfaces included) — the pandas-UDF tagging/span state
+    machine, hash-verified against a DuckDB match-extraction oracle
+    (valid because SPAN_SURFACES is overlap-free; see
+    _span_matches_sql)."""
     from kgpipe.mentions import detect_mentions, tokenize
 
     tr = tokenize(doc_transcripts(spark, sf_dir))
-    surfaces = ["hash join", "table scan", "spark", "window", "merge part"]
-    return detect_mentions(tr, surfaces=surfaces).select(
+    return detect_mentions(tr, surfaces=SPAN_SURFACES).select(
         "conv_id", "turn_idx", "entity_id", "mention_id",
         "text", "start", "end", "marked_text",
     )
@@ -837,7 +989,9 @@ def q_kg_triples(spark, sf_dir):
     return res["triples"]
 
 
-ROWS_ONLY_QUERIES = {
-    "q24_span_mentions": q_span_mentions,
-    "q25_kg_triples": q_kg_triples,
-}
+QUERIES["q24_span_mentions"] = (q_span_mentions, Q_SPAN_MENTIONS_SQL)
+QUERIES["q25_kg_triples"] = (q_kg_triples, Q_KG_TRIPLES_SQL)
+
+# rows-only queries (no SQL oracle; currently none — every driver query
+# is DuckDB-verified)
+ROWS_ONLY_QUERIES: dict = {}
