@@ -753,6 +753,223 @@ FROM (
 """
 
 
+def _lsh_proj_sql(n_planes: int) -> tuple[str, str]:
+    """(projection columns, bucket expression) replicating
+    similarity.lsh_bucket: bit_p = (Σ_d v[d]·sin(1+(p+1)(d+1))) > 0,
+    1-based d, weights computed on exact integer doubles so both
+    engines call libm sin on identical inputs."""
+    projs = ", ".join(
+        f"list_sum(list_transform(range(1, len(v) + 1),"
+        f" d -> v[d] * sin(CAST(1 + {p + 1} * (d + 1) AS DOUBLE)))) AS proj_{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj_{p} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return projs, bucket
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """ANN scale path: sign-random-projection LSH bucket per embedding
+    (the linear-shape plan; candidate generation is then an equi-join
+    on bucket — cf. q29)."""
+    from kgpipe.similarity import lsh_bucket
+
+    return lsh_bucket(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+_P8, _B8 = _lsh_proj_sql(8)
+Q_LSH_BUCKETS_SQL = f"""
+SELECT vec_id, CAST({_B8} AS BIGINT) AS bucket FROM (
+  SELECT vec_id, {_P8}
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+)
+"""
+
+
+def q_lsh_cosine_verify(spark, sf_dir):
+    """LSH-pairs → exact-cosine verification composition (the ANN
+    pipeline at scale: bucket equi-join for candidates, exact re-rank
+    only on candidates — never the quadratic all-pairs)."""
+    from kgpipe.similarity import _dot, _norm, lsh_candidate_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = lsh_candidate_pairs(emb, n_planes=4)
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .select("a", "b", F.col("bucket").cast("long").alias("bucket"), "cosine")
+    )
+
+
+_P4, _B4 = _lsh_proj_sql(4)
+Q_LSH_COSINE_VERIFY_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, CAST({_B4} AS BIGINT) AS bucket FROM (
+    SELECT vec_id, {_P4} FROM v)
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, l.bucket
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT p.a, p.b, p.bucket,
+       CAST(round(list_dot_product(va.v, vb.v)
+            / (sqrt(list_dot_product(va.v, va.v))
+               * sqrt(list_dot_product(vb.v, vb.v))), 6) AS DOUBLE) AS cosine
+FROM pairs p JOIN v va ON va.vec_id = p.a JOIN v vb ON vb.vec_id = p.b
+WHERE round(list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v))
+         * sqrt(list_dot_product(vb.v, vb.v))), 6) >= 0.2
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """Connected-components canonicalization (north_rule): synthetic
+    QID equivalence chains custkey → custkey−7 (7 deep components,
+    ~200 hops each — exercises the pointer-jumping convergence), min
+    numeric QID as canonical representative."""
+    from kgpipe.canonical import canonicalize_qids
+
+    cust = t(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") > 7).select(
+        F.concat(F.lit("Q"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("Q"), (F.col("c_custkey") - 7).cast("string")).alias("dst"),
+    )
+    return canonicalize_qids(edges)
+
+
+Q_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS a,
+         'Q' || CAST(c_custkey - 7 AS VARCHAR) AS b
+  FROM customer WHERE c_custkey > 7
+), sym AS (
+  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+), reach(src, node) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+)
+SELECT src AS qid,
+       'Q' || CAST(min(CAST(substring(node, 2) AS BIGINT)) AS VARCHAR)
+         AS canonical_qid
+FROM reach GROUP BY src
+"""
+
+
+_CLS_GOLD_A = LEXICON[:4]                      # spark join filter window
+_CLS_PRED_LEX = LEXICON[:4] + ["table", "sort"]
+_CLS_PRED_A = LEXICON[:2] + ["table"]          # different split → class errors
+
+
+def q_class_report(spark, sf_dir):
+    """Per-class span P/R/F1 report (seqeval classification_report
+    semantics) over deterministic single-token span sets with
+    deliberate class confusions."""
+    from kgpipe.metrics import per_class_report
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "token")
+
+    def spans(lex, a_lex):
+        return (
+            toks.filter(F.col("token").isin(lex))
+            .select(
+                "doc_id", "start", F.lit(1).alias("length"),
+                F.when(F.col("token").isin(a_lex), F.lit("TYPE_A"))
+                .otherwise(F.lit("TYPE_B")).alias("label"),
+            )
+        )
+
+    return per_class_report(
+        spans(_CLS_PRED_LEX, _CLS_PRED_A), spans(LEXICON, _CLS_GOLD_A)
+    )
+
+
+def _class_report_sql() -> str:
+    def inlist(ws):
+        return ", ".join(f"'{w}'" for w in ws)
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS start
+  FROM documents
+),
+gold AS (
+  SELECT DISTINCT doc_id, start, 1 AS length,
+         CASE WHEN token IN ({inlist(_CLS_GOLD_A)}) THEN 'TYPE_A'
+              ELSE 'TYPE_B' END AS label
+  FROM toks WHERE token IN ({inlist(LEXICON)})
+),
+pred AS (
+  SELECT DISTINCT doc_id, start, 1 AS length,
+         CASE WHEN token IN ({inlist(_CLS_PRED_A)}) THEN 'TYPE_A'
+              ELSE 'TYPE_B' END AS label
+  FROM toks WHERE token IN ({inlist(_CLS_PRED_LEX)})
+),
+tp AS (SELECT label, count(*) AS tp FROM pred
+       JOIN gold USING (doc_id, start, length, label) GROUP BY label),
+pc AS (SELECT label, count(*) AS n_pred FROM pred GROUP BY label),
+gc AS (SELECT label, count(*) AS n_gold FROM gold GROUP BY label),
+per AS (
+  SELECT coalesce(gc.label, pc.label) AS label,
+         coalesce(tp.tp, 0) AS tp, coalesce(pc.n_pred, 0) AS n_pred,
+         coalesce(gc.n_gold, 0) AS n_gold
+  FROM gc FULL OUTER JOIN pc ON gc.label = pc.label
+  LEFT JOIN tp ON coalesce(gc.label, pc.label) = tp.label
+),
+scored AS (
+  SELECT label, tp, n_pred, n_gold,
+         CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END AS p,
+         CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END AS r
+  FROM per
+),
+scored2 AS (
+  SELECT *, CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
+  FROM scored
+)
+SELECT label, CAST(round(p, 6) AS DOUBLE) AS precision,
+       CAST(round(r, 6) AS DOUBLE) AS recall,
+       CAST(round(f1, 6) AS DOUBLE) AS f1,
+       CAST(n_gold AS BIGINT) AS support
+FROM scored2
+UNION ALL
+SELECT '_micro', CAST(round(p, 6) AS DOUBLE), CAST(round(r, 6) AS DOUBLE),
+       CAST(round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                       ELSE 0.0 END, 6) AS DOUBLE),
+       CAST(sg AS BIGINT)
+FROM (
+  SELECT CASE WHEN sum(n_pred) > 0 THEN sum(tp) * 1.0 / sum(n_pred)
+              ELSE 0.0 END AS p,
+         CASE WHEN sum(n_gold) > 0 THEN sum(tp) * 1.0 / sum(n_gold)
+              ELSE 0.0 END AS r,
+         sum(n_gold) AS sg
+  FROM scored2
+)
+UNION ALL
+SELECT '_macro', CAST(round(avg(p), 6) AS DOUBLE),
+       CAST(round(avg(r), 6) AS DOUBLE), CAST(round(avg(f1), 6) AS DOUBLE),
+       CAST(sum(n_gold) AS BIGINT)
+FROM scored2
+"""
+
+
+Q_CLASS_REPORT_SQL = _class_report_sql()
+
+
 # ------------------------------------------------- flagship oracles
 # q24/q25 were rows-only in round 1; both are now DuckDB-verified.
 
@@ -932,6 +1149,11 @@ QUERIES = {
     "q23_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
     "q26_salted_counts": (q_salted_counts, Q_SALTED_COUNTS_SQL),
     "q27_per_word_errors": (q_per_word_errors, Q_PER_WORD_ERRORS_SQL),
+    "q28_lsh_buckets": (q_lsh_buckets, Q_LSH_BUCKETS_SQL),
+    "q29_lsh_cosine_verify": (q_lsh_cosine_verify, Q_LSH_COSINE_VERIFY_SQL),
+    "q30_connected_components": (q_connected_components,
+                                 Q_CONNECTED_COMPONENTS_SQL),
+    "q31_class_report": (q_class_report, Q_CLASS_REPORT_SQL),
 }
 
 

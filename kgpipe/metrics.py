@@ -116,6 +116,88 @@ def per_word_errors(df: DataFrame) -> DataFrame:
     return agg.orderBy((F.col("fp") + F.col("fn")).desc(), F.col("word").asc())
 
 
+def per_class_report(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """seqeval classification_report semantics (eval_utils.py:110-155):
+    per entity class, span-level precision/recall/F1/support (exact
+    (doc_id, start, length, label) tuple match = seqeval's strict span
+    equality), plus '_micro' (pooled counts) and '_macro' (unweighted
+    class mean) rows. Inputs: (doc_id, start, length, label) span rows.
+
+    One inner join on the span tuple + three small groupBys — the whole
+    report is a handful of broadcastable aggregates at any corpus size.
+    """
+    p = pred.select("doc_id", "start", "length", "label").distinct()
+    g = gold.select("doc_id", "start", "length", "label").distinct()
+    tp = (
+        p.join(g, ["doc_id", "start", "length", "label"])
+        .groupBy("label").agg(F.count("*").alias("tp"))
+    )
+    pc = p.groupBy("label").agg(F.count("*").alias("n_pred"))
+    gc = g.groupBy("label").agg(F.count("*").alias("n_gold"))
+    per = (
+        gc.join(pc, "label", "full_outer").join(tp, "label", "left")
+        .na.fill(0, ["tp", "n_pred", "n_gold"])
+        .select(
+            "label", "tp", "n_pred", "n_gold",
+            F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+            .otherwise(F.lit(0.0)).alias("precision"),
+            F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold"))
+            .otherwise(F.lit(0.0)).alias("recall"),
+        )
+        .withColumn(
+            "f1",
+            F.when(F.col("precision") + F.col("recall") > 0,
+                   2 * F.col("precision") * F.col("recall")
+                   / (F.col("precision") + F.col("recall")))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    micro = per.agg(
+        F.lit("_micro").alias("label"),
+        F.sum("tp").alias("tp"), F.sum("n_pred").alias("n_pred"),
+        F.sum("n_gold").alias("n_gold"),
+    ).select(
+        "label", "tp", "n_pred", "n_gold",
+        F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+        .otherwise(F.lit(0.0)).alias("precision"),
+        F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold"))
+        .otherwise(F.lit(0.0)).alias("recall"),
+    ).withColumn(
+        "f1",
+        F.when(F.col("precision") + F.col("recall") > 0,
+               2 * F.col("precision") * F.col("recall")
+               / (F.col("precision") + F.col("recall")))
+        .otherwise(F.lit(0.0)),
+    )
+    macro = per.agg(
+        F.lit("_macro").alias("label"),
+        F.sum("tp").alias("tp"), F.sum("n_pred").alias("n_pred"),
+        F.sum("n_gold").alias("n_gold"),
+        F.avg("precision").alias("precision"), F.avg("recall").alias("recall"),
+        F.avg("f1").alias("f1"),
+    )
+    return (
+        per.unionByName(micro).unionByName(macro)
+        .select(
+            "label",
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round("f1", 6).alias("f1"),
+            F.col("n_gold").cast("long").alias("support"),
+        )
+    )
+
+
+def token_accuracy(df: DataFrame) -> DataFrame:
+    """conlleval-style token-level accuracy (conlleval:1-20 vendored
+    scorer) over aligned (gold_tag, pred_tag) token rows."""
+    return df.agg(
+        F.round(F.avg(F.when(F.col("gold_tag") == F.col("pred_tag"), 1.0)
+                      .otherwise(0.0)), 6).alias("token_accuracy"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
 def multi_seed_table(df: DataFrame, min_f1: float = 5.0) -> DataFrame:
     """A11 (eval_utils.py:408-527): mean/stdev of metrics over seed runs,
     dropping outliers with f1 < min_f1. Input rows:

@@ -1,0 +1,90 @@
+"""Connected-components canonicalization (north_rule; canonical.py)."""
+
+from pyspark.sql import functions as F
+
+from kgpipe import schemas
+from kgpipe.canonical import (
+    apply_canonicalization,
+    canonicalize_qids,
+    connected_components,
+    redirect_equivalence_edges,
+)
+from kgpipe.kb import build_title_map
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: find(n) for n in parent}
+
+
+def test_cc_cycles_and_components(spark):
+    # component A: chain + cycle (Q10-Q20-Q30-Q10); component B: pair;
+    # component C: a 12-node chain (exercises pointer jumping past the
+    # naive per-hop propagation); self-loop dropped
+    edges = (
+        [("Q20", "Q10"), ("Q30", "Q20"), ("Q10", "Q30")]
+        + [("Q5", "Q100")]
+        + [(f"Q{200 + i}", f"Q{201 + i}") for i in range(12)]
+        + [("Q7", "Q7")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["qid"]: r["canonical_qid"]
+           for r in canonicalize_qids(df).collect()}
+    assert out["Q10"] == out["Q20"] == out["Q30"] == "Q10"
+    assert out["Q5"] == out["Q100"] == "Q5"
+    for i in range(13):
+        assert out[f"Q{200 + i}"] == "Q200"
+    assert "Q7" not in out  # self-loop only → no equivalence info
+
+    # parity vs a union-find twin (same component partition)
+    uf = _union_find([e for e in edges if e[0] != e[1]])
+    for a in uf:
+        for b in uf:
+            assert (out[a] == out[b]) == (uf[a] == uf[b])
+
+
+def test_cc_generic_key_lexicographic(spark):
+    df = spark.createDataFrame([("b", "c"), ("c", "a")], "src string, dst string")
+    out = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_redirect_equivalence_and_apply(spark):
+    kb = spark.createDataFrame(
+        [
+            ("Q1", {"en": "New"}, {"en": "d"}, {"en": "New"}, {}),
+            ("Q9", {"en": "Old"}, {"en": "d"}, {"en": "Old"}, {}),
+            ("Q4", {"en": "Other"}, {"en": "d"}, {"en": "Other"}, {}),
+        ],
+        schema=schemas.ENTITY_KB,
+    )
+    tm = build_title_map(kb)
+    redirects = spark.createDataFrame(
+        [("en", "Old", "New"), ("en", "Missing", "New")],
+        schema=schemas.REDIRECTS,
+    )
+    edges = redirect_equivalence_edges(redirects, tm)
+    assert [tuple(r) for r in edges.collect()] == [("Q9", "Q1")]
+
+    mapping = canonicalize_qids(edges)
+    facts = spark.createDataFrame(
+        [("m1", "Q9"), ("m2", "Q1"), ("m3", "Q4"), ("m4", "Q0")],
+        "mention_id string, link_qid string",
+    )
+    out = {r["mention_id"]: r["link_qid"]
+           for r in apply_canonicalization(facts, mapping, ["link_qid"]).collect()}
+    # Q9 collapses onto Q1 (min numeric); unmapped ids pass through
+    assert out == {"m1": "Q1", "m2": "Q1", "m3": "Q4", "m4": "Q0"}

@@ -131,3 +131,50 @@ def test_align_gold_pred_padding(spark):
     out = {r["token_idx"]: (r["gold_tag"], r["pred_tag"])
            for r in align_gold_pred(gold, pred).collect()}
     assert out == {0: ("B-X", "B-X"), 1: ("O", "B-Y"), 2: ("I-X", "O")}
+
+
+def test_per_class_report_hand_computed(spark):
+    """seqeval classification_report semantics: strict span tuples.
+    gold: PER×3, LOC×1;  pred: PER×2 (1 correct), LOC×2 (1 correct).
+    PER: p=1/2, r=1/3, f1=0.4; LOC: p=1/2, r=1/1, f1=2/3.
+    micro: tp=2, p=2/4, r=2/4, f1=0.5. macro: p=0.5, r=2/3, f1=8/15.
+    """
+    from kgpipe.metrics import per_class_report
+
+    schema = "doc_id string, start int, length int, label string"
+    gold = spark.createDataFrame(
+        [("d1", 0, 2, "PER"), ("d1", 5, 1, "PER"), ("d2", 0, 1, "PER"),
+         ("d2", 3, 2, "LOC")], schema)
+    pred = spark.createDataFrame(
+        [("d1", 0, 2, "PER"), ("d1", 7, 1, "PER"),
+         ("d2", 3, 2, "LOC"), ("d2", 9, 1, "LOC")], schema)
+    out = {r["label"]: (r["precision"], r["recall"], r["f1"], r["support"])
+           for r in per_class_report(pred, gold).collect()}
+    assert out["PER"] == (0.5, round(1 / 3, 6), 0.4, 3)
+    assert out["LOC"] == (0.5, 1.0, round(2 / 3, 6), 1)
+    assert out["_micro"] == (0.5, 0.5, 0.5, 4)
+    assert out["_macro"] == (0.5, round((1 / 3 + 1) / 2, 6),
+                             round((0.4 + 2 / 3) / 2, 6), 4)
+
+
+def test_per_class_report_class_only_in_pred(spark):
+    from kgpipe.metrics import per_class_report
+
+    schema = "doc_id string, start int, length int, label string"
+    gold = spark.createDataFrame([("d1", 0, 1, "PER")], schema)
+    pred = spark.createDataFrame([("d1", 0, 1, "ORG")], schema)
+    out = {r["label"]: (r["precision"], r["recall"], r["support"])
+           for r in per_class_report(pred, gold).collect()}
+    assert out["ORG"] == (0.0, 0.0, 0)   # no gold support, pure FP
+    assert out["PER"] == (0.0, 0.0, 1)
+
+
+def test_token_accuracy(spark):
+    from kgpipe.metrics import token_accuracy
+
+    df = spark.createDataFrame(
+        [("B-X", "B-X"), ("O", "O"), ("O", "B-Y"), ("I-X", "O")],
+        "gold_tag string, pred_tag string",
+    )
+    r = token_accuracy(df).collect()[0]
+    assert (r["token_accuracy"], r["n_tokens"]) == (0.5, 4)
