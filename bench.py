@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "q23_top_customers",
     "q24_span_mentions",
     "q25_kg_triples",
+    "q28_lsh_buckets",
+    "q29_lsh_cosine_verify",
+    "q31_class_report",
 ]
 
 

@@ -50,18 +50,26 @@ def surfaces_from_dims(alias_map: DataFrame, mention_counts: DataFrame) -> list:
 
 
 def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
-               mention_counts: DataFrame) -> dict:
+               mention_counts: DataFrame, materialize: bool = True) -> dict:
     """KB-construction sub-pipeline (the reference's preprocess_wikidata/
     preprocess_mention_dicts stage): derive and return the broadcastable
     lookup dims + the gazetteer surface dim. Separate from the per-turn
     pipeline because it is KB-sized constant work, amortized over the
-    corpus — benchmark the two independently."""
-    return {
+    corpus — benchmark the two independently.
+
+    materialize=True localCheckpoints each dim: without it every
+    consuming job re-derives AND re-broadcasts the dim from entity_kb
+    (measured: a visible slice of the per-job fixed cost across the
+    ~40-job pipeline)."""
+    dims = {
         "title_map": build_title_map(entity_kb),
         "alias_map": (am := build_alias_map(entity_kb)),
         "kb_context": build_kb_context(entity_kb, kb_args),
         "surfaces_df": surfaces_df_from_dims(am, mention_counts),
     }
+    if materialize:
+        dims = {k: v.localCheckpoint(eager=True) for k, v in dims.items()}
+    return dims
 
 
 def run_pipeline(
@@ -79,10 +87,19 @@ def run_pipeline(
     ensemble_seeds: int = 1,
     work_dir: str | None = None,
     dims: dict | None = None,
+    cut_mode: str = "local",
+    skip_cuts: tuple = (),
 ) -> dict:
     """Returns dict of stage DataFrames: turns, mentions, candidates,
     linked, enriched, classified, triples. Pass `dims` (from
-    build_dims) to reuse prebuilt KB lookups across runs."""
+    build_dims) to reuse prebuilt KB lookups across runs.
+
+    cut_mode (non-checkpoint path only): how stage boundaries are
+    materialized — "local" (default: localCheckpoint truncates lineage
+    without a parquet roundtrip; measured ~25% faster), "parquet"
+    (write+read — the durable-table shape; what checkpoint_dir mode
+    always uses), "none" (fully fused — measurement baseline only).
+    skip_cuts: stage names to fuse through regardless of mode."""
     dims = dims or build_dims(spark, entity_kb, kb_args, mention_counts)
     title_map = dims["title_map"]
     alias_map = dims["alias_map"]
@@ -128,16 +145,18 @@ def run_pipeline(
             linked, os.path.join(checkpoint_dir, "enriched"), "enriched", stage_enrich
         )
     else:
-        # Materialize each stage boundary as parquet (a lightweight
-        # stage cut, no resume bookkeeping). Measured ~4× faster than
-        # any lazy/persist variant: every stage output is referenced by
-        # 2-3 downstream consumers (candidate probe, hypothesis
-        # context, fold-back join, triple branches) and Catalyst's
-        # project collapsing otherwise re-inlines the expensive
-        # candidate/hypothesis expressions per consumer. DataFrame
-        # .persist() is worse still for these nested-type schemas.
-        # This is also the shape of the production design: durable
-        # stage tables (checkpoint_dir path adds resume + lineage).
+        # Materialize each stage boundary (a lightweight stage cut, no
+        # resume bookkeeping). Measured far faster than any lazy/persist
+        # variant: every stage output is referenced by 2-3 downstream
+        # consumers (candidate probe, hypothesis context, fold-back
+        # join, triple branches) and Catalyst's project collapsing
+        # otherwise re-inlines the expensive candidate/hypothesis
+        # expressions per consumer; a fused linking mega-stage also
+        # degrades at high parallelism (per-task memory shrinks with
+        # concurrency at fixed heap). Default cut is localCheckpoint
+        # (~25% faster than parquet write+read); the production design
+        # uses durable stage tables (checkpoint_dir path adds resume +
+        # lineage; cut_mode="parquet" gives the same shape here).
         import tempfile
 
         work_dir = work_dir or tempfile.mkdtemp(prefix="kgpipe-stages-")
@@ -145,6 +164,10 @@ def run_pipeline(
         from kgpipe.io import read_table, write_table
 
         def cut(df: DataFrame, name: str) -> DataFrame:
+            if name in skip_cuts or cut_mode == "none":
+                return df
+            if cut_mode == "local":
+                return df.localCheckpoint(eager=True)
             path = os.path.join(work_dir, name)
             write_table(df, path)
             return read_table(spark, path)
@@ -185,7 +208,11 @@ def run_pipeline(
         classified = classify(enriched)
     if not checkpoint_dir:
         classified = cut(classified, "classified")
-        triples = emit_triples(classified, materialize=False)
+        was_cut = cut_mode != "none" and "classified" not in skip_cuts
+        # if the classified frame is materialized (parquet/localCheckpoint)
+        # the two triple branches read it cheaply; otherwise let
+        # emit_triples persist its slim projection
+        triples = emit_triples(classified, materialize=not was_cut)
     else:
         triples = emit_triples(classified)
     return {

@@ -105,3 +105,24 @@ def test_pipeline_ensemble_vote_matches_oracle(spark, fixture_set):
                           ensemble_seeds=5)
     prf = triple_prf(spark_triples, gold)
     assert prf["f1"] > 0.999, prf
+
+
+def test_io_format_switch_fallback(spark, tmp_path):
+    """KGPIPE_TABLE_FORMAT=iceberg without the runtime jar falls back
+    to parquet transparently (SURVEY §7.5.3 single-switch promise)."""
+    from kgpipe import io
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    path = str(tmp_path / "fmt")
+    io.set_table_format("iceberg")
+    try:
+        io.write_table(df, path)
+        assert io.last_fallback is not None  # no iceberg jar in sandbox
+        assert [tuple(r) for r in io.read_table(spark, path).collect()] == \
+            [(1, "a")]
+    finally:
+        io.set_table_format(None)
+        io.last_fallback = None
+
+    io.write_table(df, path)  # parquet default path
+    assert spark.read.parquet(path).count() == 1
