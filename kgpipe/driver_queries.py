@@ -1211,8 +1211,485 @@ def q_kg_triples(spark, sf_dir):
     return res["triples"]
 
 
+def q_resolution_cascade(spark, sf_dir):
+    """J4 3-way cascade (reference-faithful normalize → chase → title →
+    alias order) over synthetic anchors exercising every branch:
+    direct/space-underscored/fragment/lowercase titles, redirects,
+    alias fallback, http short-circuit, unresolvable."""
+    from kgpipe.kb import resolution_cascade, resolve_redirect_closure
+
+    part = t(spark, sf_dir, "part")
+    cust = t(spark, sf_dir, "customer")
+    k50 = (F.col("p_partkey") % 50).cast("string")
+    title_map = part.select(
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("T "), k50).alias("title"),
+        F.concat(F.lit("Q"), F.col("p_partkey").cast("string")).alias("qid"),
+    ).distinct()
+    redirects = part.select(
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("R"), k50).alias("src_title"),
+        F.concat(F.lit("T "), k50).alias("dst_title"),
+    ).distinct()
+    alias_map = part.select(
+        F.concat(F.lit("a"), k50).alias("alias_lc"),
+        F.concat(F.lit("Q"), F.col("p_partkey").cast("string")).alias("qid"),
+    ).distinct()
+
+    ck50 = (F.col("c_custkey") % 50).cast("string")
+    v = F.col("c_custkey") % 7
+    anchors = cust.select(
+        "c_custkey", F.lit("en").alias("lang"),
+        F.when(v == 0, F.concat(F.lit("T "), ck50))
+        .when(v == 1, F.concat(F.lit("T_"), ck50, F.lit("#sec")))
+        .when(v == 2, F.concat(F.lit("t_"), ck50))
+        .when(v == 3, F.concat(F.lit("R"), ck50))
+        .when(v == 4, F.concat(F.lit("A"), ck50))
+        .when(v == 5, F.concat(F.lit("http://x/"),
+                               F.col("c_custkey").cast("string")))
+        .otherwise(F.concat(F.lit("zz"), ck50)).alias("anchor"),
+    )
+    out = resolution_cascade(
+        anchors, title_map, resolve_redirect_closure(redirects), alias_map
+    )
+    return out.select(
+        "c_custkey", "anchor", "resolved_qid", "provenance",
+        F.size("resolved_qids").cast("long").alias("n_qids"),
+    )
+
+
+Q_RESOLUTION_CASCADE_SQL = """
+WITH tm AS (SELECT DISTINCT 'T ' || CAST(p_partkey % 50 AS VARCHAR) AS title,
+                   'Q' || CAST(p_partkey AS VARCHAR) AS qid FROM part),
+rd AS (SELECT DISTINCT 'R' || CAST(p_partkey % 50 AS VARCHAR) AS src,
+              'T ' || CAST(p_partkey % 50 AS VARCHAR) AS dst FROM part),
+am AS (SELECT DISTINCT 'a' || CAST(p_partkey % 50 AS VARCHAR) AS alias_lc,
+              'Q' || CAST(p_partkey AS VARCHAR) AS qid FROM part),
+anchors AS (
+  SELECT c_custkey,
+    CASE c_custkey % 7
+      WHEN 0 THEN 'T ' || CAST(c_custkey % 50 AS VARCHAR)
+      WHEN 1 THEN 'T_' || CAST(c_custkey % 50 AS VARCHAR) || '#sec'
+      WHEN 2 THEN 't_' || CAST(c_custkey % 50 AS VARCHAR)
+      WHEN 3 THEN 'R' || CAST(c_custkey % 50 AS VARCHAR)
+      WHEN 4 THEN 'A' || CAST(c_custkey % 50 AS VARCHAR)
+      WHEN 5 THEN 'http://x/' || CAST(c_custkey AS VARCHAR)
+      ELSE 'zz' || CAST(c_custkey % 50 AS VARCHAR)
+    END AS anchor
+  FROM customer
+),
+norm AS (
+  SELECT c_custkey, anchor,
+         contains(anchor, 'http') AS is_http,
+         replace(string_split(anchor, '#')[1], '_', ' ') AS n0
+  FROM anchors
+),
+capd AS (
+  SELECT *, CASE WHEN is_http OR n0 = '' THEN NULL
+                 ELSE upper(substring(n0, 1, 1)) || substring(n0, 2)
+            END AS ck
+  FROM norm
+),
+chased AS (
+  SELECT capd.c_custkey, capd.anchor, capd.is_http, capd.n0,
+         coalesce(rd.dst, capd.ck) AS ct
+  FROM capd LEFT JOIN rd ON capd.ck = rd.src
+),
+wiki AS (
+  SELECT ch.c_custkey, ch.anchor, ch.is_http, ch.n0, ch.ct,
+         max(CAST(substring(tm.qid, 2) AS BIGINT)) AS wq,
+         count(tm.qid) AS wn
+  FROM chased ch LEFT JOIN tm ON tm.title = ch.ct
+  GROUP BY ALL
+),
+ali AS (
+  SELECT w.*, max(CAST(substring(am.qid, 2) AS BIGINT)) AS aq,
+         count(am.qid) AS an
+  FROM wiki w LEFT JOIN am ON am.alias_lc = lower(w.ct)
+  GROUP BY ALL
+)
+SELECT c_custkey, anchor,
+  CASE WHEN is_http OR n0 = '' THEN NULL
+       WHEN wn > 0 THEN 'Q' || CAST(wq AS VARCHAR)
+       WHEN an > 0 THEN 'Q' || CAST(aq AS VARCHAR)
+       ELSE NULL END AS resolved_qid,
+  CASE WHEN is_http OR n0 = '' THEN 'simple'
+       WHEN wn > 0 THEN 'wikipedia'
+       ELSE 'wikidata' END AS provenance,
+  CAST(CASE WHEN is_http OR n0 = '' THEN 0
+            WHEN wn > 0 THEN wn ELSE an END AS BIGINT) AS n_qids
+FROM ali
+"""
+
+
+def q_lang_priority(spark, sf_dir):
+    """A4 per-QID language priority (cnt desc, global total desc, lang
+    asc) — langs joined to one string to keep the compared schema flat."""
+    from kgpipe.kb import build_lang_priority
+
+    rows = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("qid"),
+        F.col("event_type").alias("lang"),
+    )
+    return build_lang_priority(rows).select(
+        "qid", F.concat_ws("|", "langs").alias("langs")
+    )
+
+
+Q_LANG_PRIORITY_SQL = """
+WITH pq AS (SELECT CAST(user_id AS VARCHAR) AS qid, event_type AS lang,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+g AS (SELECT lang, sum(cnt) AS total FROM pq GROUP BY lang)
+SELECT qid, string_agg(lang, '|' ORDER BY cnt DESC, total DESC, lang ASC)
+         AS langs
+FROM pq JOIN g USING (lang) GROUP BY qid
+"""
+
+
+def q_recall_at_k(spark, sf_dir):
+    """A10 R@1/R@10: per-user ranked event-type list (count desc, type
+    asc, capped 10), gold = 'purchase'."""
+    from kgpipe.metrics import recall_at_k
+
+    counted = t(spark, sf_dir, "events").groupBy("user_id", "event_type") \
+        .agg(F.count("*").alias("cnt"))
+    preds = counted.groupBy("user_id").agg(
+        F.expr(
+            "slice(transform(array_sort(collect_list("
+            "struct(-cnt as neg, event_type as et))), x -> x.et), 1, 10)"
+        ).alias("genre_prediction")
+    ).withColumn("gold_qid", F.lit("purchase"))
+    return recall_at_k(preds, ks=(1, 10))
+
+
+Q_RECALL_AT_K_SQL = """
+WITH counted AS (SELECT user_id, event_type, count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+ranked AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, event_type ASC) AS rn
+           FROM counted),
+pr AS (SELECT user_id,
+              min(CASE WHEN event_type = 'purchase' THEN rn END) AS prank
+       FROM ranked GROUP BY user_id)
+SELECT CAST(round(avg(CASE WHEN prank IS NOT NULL AND prank <= 1
+                           THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS r_at_1,
+       CAST(round(avg(CASE WHEN prank IS NOT NULL AND prank <= 10
+                           THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS r_at_10
+FROM pr
+"""
+
+
+def q_el_overlap(spark, sf_dir):
+    """A9 EL running accuracy: hit = gold∩pred nonempty per user
+    (arrays_overlap on collected sets)."""
+    from kgpipe.metrics import el_running_metrics
+
+    g = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.collect_set(F.when(F.col("event_id") % 2 == 0,
+                             F.col("event_type"))).alias("gold_qids"),
+        F.collect_set(F.when(F.col("value") > 500,
+                             F.col("event_type"))).alias("genre_prediction"),
+    )
+    return el_running_metrics(g)
+
+
+Q_EL_OVERLAP_SQL = """
+WITH gold AS (SELECT DISTINCT user_id, event_type FROM events
+              WHERE event_id % 2 = 0),
+pred AS (SELECT DISTINCT user_id, event_type FROM events WHERE value > 500),
+users AS (SELECT DISTINCT user_id FROM events),
+hits AS (SELECT DISTINCT g.user_id
+         FROM gold g JOIN pred p USING (user_id, event_type))
+SELECT CAST(round(avg(CASE WHEN h.user_id IS NOT NULL THEN 1.0 ELSE 0.0 END),
+                  6) AS DOUBLE) AS accuracy,
+       count(*) AS n
+FROM users u LEFT JOIN hits h ON u.user_id = h.user_id
+"""
+
+
+def q_multi_seed(spark, sf_dir):
+    """A11 multi-seed mean/stdev table with the f1 < 5 outlier drop."""
+    from kgpipe.metrics import multi_seed_table
+
+    runs = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("dataset"),
+        (F.col("o_orderkey") % 100).cast("double").alias("f1"),
+        (F.col("o_orderkey") % 50).cast("double").alias("precision"),
+        (F.col("o_orderkey") % 25).cast("double").alias("recall"),
+    )
+    return multi_seed_table(runs)
+
+
+Q_MULTI_SEED_SQL = """
+SELECT o_orderstatus AS dataset,
+       CAST(round(avg(f1), 6) AS DOUBLE) AS f1_mean,
+       CAST(round(coalesce(stddev_samp(f1), 0.0), 6) AS DOUBLE) AS f1_std,
+       CAST(round(avg(p), 6) AS DOUBLE) AS p_mean,
+       CAST(round(avg(r), 6) AS DOUBLE) AS r_mean,
+       count(*) AS n_runs
+FROM (
+  SELECT o_orderstatus,
+         CAST(o_orderkey % 100 AS DOUBLE) AS f1,
+         CAST(o_orderkey % 50 AS DOUBLE) AS p,
+         CAST(o_orderkey % 25 AS DOUBLE) AS r
+  FROM orders
+) WHERE f1 >= 5 GROUP BY o_orderstatus
+"""
+
+
+def q_relaxed_overlap(spark, sf_dir):
+    """A12 relaxed token-overlap matrix: gold spans of length 2, pred
+    spans of length 1, deliberate class confusions (q31's splits)."""
+    from kgpipe.metrics import relaxed_overlap_matrix
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+    gold = toks.filter(F.col("token").isin(LEXICON)).select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 2).alias("end"),
+        F.when(F.col("token").isin(_CLS_GOLD_A), F.lit("TYPE_A"))
+        .otherwise(F.lit("TYPE_B")).alias("label"),
+    )
+    pred = toks.filter(F.col("token").isin(_CLS_PRED_LEX)).select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"),
+        F.when(F.col("token").isin(_CLS_PRED_A), F.lit("TYPE_A"))
+        .otherwise(F.lit("TYPE_B")).alias("label"),
+    )
+    return relaxed_overlap_matrix(pred, gold)
+
+
+def _relaxed_overlap_sql() -> str:
+    def inlist(ws):
+        return ", ".join(f"'{w}'" for w in ws)
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+gold AS (
+  SELECT doc_id, pos AS g_s, pos + 2 AS g_e,
+         CASE WHEN token IN ({inlist(_CLS_GOLD_A)}) THEN 'TYPE_A'
+              ELSE 'TYPE_B' END AS gold_type
+  FROM toks WHERE token IN ({inlist(LEXICON)})
+),
+pred AS (
+  SELECT doc_id, pos AS p_s, pos + 1 AS p_e,
+         CASE WHEN token IN ({inlist(_CLS_PRED_A)}) THEN 'TYPE_A'
+              ELSE 'TYPE_B' END AS pred_type
+  FROM toks WHERE token IN ({inlist(_CLS_PRED_LEX)})
+)
+SELECT gold_type, pred_type, count(*) AS n
+FROM gold g JOIN pred p ON g.doc_id = p.doc_id
+  AND p.p_s < g.g_e AND g.g_s < p.p_e
+GROUP BY gold_type, pred_type
+"""
+
+
+Q_RELAXED_OVERLAP_SQL = _relaxed_overlap_sql()
+
+
+def q_anchors_solved(spark, sf_dir):
+    """A13 anchors-solved ratio over synthetic qid sets of size
+    event_id % 3."""
+    from kgpipe.metrics import anchors_solved_ratio
+
+    df = t(spark, sf_dir, "events").select(
+        F.expr("transform(sequence(1, cast(event_id % 3 as int)),"
+               " i -> cast(i as string))").alias("qids")
+    )
+    return anchors_solved_ratio(df)
+
+
+Q_ANCHORS_SOLVED_SQL = """
+SELECT CAST(round(sum(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) * 1.0
+                  / count(*), 6) AS DOUBLE) AS solved_ratio,
+       count(*) AS n_anchors
+FROM events
+"""
+
+
 QUERIES["q24_span_mentions"] = (q_span_mentions, Q_SPAN_MENTIONS_SQL)
 QUERIES["q25_kg_triples"] = (q_kg_triples, Q_KG_TRIPLES_SQL)
+
+
+# ---------------------------------------------- round-2 coverage batch
+# Hash-verify the per-row tag state machines (P1 IOB/IOB2/BILOU, Q8
+# gap merge — pandas UDFs on the Spark side) against pure window-SQL
+# twins: both encoders are functions of (tag, previous original tag)
+# and BILOU of (iob2, next iob2), so lag/lead replicate them exactly.
+# merge_gap_tags' in-place forward pass is provably equivalent to the
+# original-neighbor formulation (a modified position is always followed
+# by I-, never O, so no filled gap can feed a later gap's left side).
+
+_TAG_CASE = ("CASE length({t}) % 6 WHEN 0 THEN 'O' WHEN 1 THEN 'B-X'"
+             " WHEN 2 THEN 'I-X' WHEN 3 THEN 'I-Y' WHEN 4 THEN 'U-X'"
+             " ELSE 'L-Y' END")
+
+
+def q_tag_rewrite(spark, sf_dir):
+    from kgpipe.tags import (
+        merge_gap_tags_udf, rewrite_bilou_udf, rewrite_iob2_udf,
+        rewrite_iob_udf,
+    )
+
+    tagged = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), t -> "
+               + _TAG_CASE.format(t="t") + ")").alias("tags"),
+    )
+    out = (
+        tagged
+        .withColumn("iob", rewrite_iob_udf("tags"))
+        .withColumn("iob2", rewrite_iob2_udf("tags"))
+        .withColumn("bilou", rewrite_bilou_udf("tags"))
+        .withColumn("merged", merge_gap_tags_udf("tags"))
+        .select("doc_id", F.posexplode(
+            F.arrays_zip("tags", "iob", "iob2", "bilou", "merged")
+        ).alias("pos0", "z"))
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.col("z.tags").alias("tag"), F.col("z.iob").alias("iob"),
+            F.col("z.iob2").alias("iob2"), F.col("z.bilou").alias("bilou"),
+            F.col("z.merged").alias("merged"),
+        )
+    )
+    return out
+
+
+Q_TAG_REWRITE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+tagged AS (SELECT doc_id, pos, {_TAG_CASE.format(t='token')} AS tag FROM toks),
+w AS (
+  SELECT doc_id, pos, tag,
+         lag(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         lead(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tagged
+),
+base AS (
+  SELECT doc_id, pos, tag, prev, nxt,
+         substring(tag, 1, 1) AS b, substring(tag, 3) AS t,
+         CASE WHEN prev IS NULL OR prev = 'O' THEN NULL
+              ELSE substring(prev, 1, 1) END AS pb,
+         CASE WHEN prev IS NULL OR prev = 'O' THEN NULL
+              ELSE substring(prev, 3) END AS pt
+  FROM w
+),
+enc AS (
+  SELECT doc_id, pos, tag, prev, nxt,
+         CASE WHEN tag = 'O' THEN 'O'
+              WHEN b IN ('B','U') AND pb IS NOT NULL AND pt = t
+                THEN 'B-' || t
+              ELSE 'I-' || t END AS iob,
+         CASE WHEN tag = 'O' THEN 'O'
+              WHEN b IN ('B','U') OR pb IS NULL OR pt != t THEN 'B-' || t
+              ELSE 'I-' || t END AS iob2,
+         CASE WHEN tag = 'O' AND prev IS NOT NULL AND nxt IS NOT NULL
+               AND substring(prev, 1, 1) IN ('B','I')
+               AND substring(nxt, 1, 1) = 'I'
+               AND substring(prev, 3) = substring(nxt, 3)
+              THEN nxt ELSE tag END AS merged
+  FROM base
+),
+bil AS (
+  SELECT *, lead(iob2) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt2
+  FROM enc
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, tag, iob, iob2,
+       CASE WHEN iob2 = 'O' THEN 'O'
+            WHEN substring(iob2, 1, 1) = 'B' THEN
+              CASE WHEN nxt2 = 'I-' || substring(iob2, 3) THEN iob2
+                   ELSE 'U-' || substring(iob2, 3) END
+            ELSE
+              CASE WHEN nxt2 = iob2 THEN iob2
+                   ELSE 'L-' || substring(iob2, 3) END
+       END AS bilou,
+       merged
+FROM bil
+"""
+
+
+def q_truncate_context(spark, sf_dir):
+    """Q3 context-window truncation (create_input 4-case logic) over
+    variable split points so every branch fires."""
+    from kgpipe.ingest import truncate_context
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).withColumn("n", F.size("tk")).filter(F.col("n") >= 3)
+    # mention = 2 tokens starting at n//3 (1-based slice start);
+    # floor() explicitly — DuckDB CAST(x AS INT) rounds, Spark truncates
+    d = d.withColumn("ms", F.floor(F.col("n") / 3).cast("int") + 1)
+    d = d.select(
+        "doc_id",
+        F.expr("slice(tk, 1, ms - 1)").alias("left"),
+        F.expr("slice(tk, ms, least(2, n - ms + 1))").alias("mention"),
+        F.expr("slice(tk, ms + 2, greatest(n - ms - 1, 0))").alias("right"),
+    )
+    return d.select(
+        "doc_id",
+        truncate_context(F.col("left"), F.col("mention"), F.col("right"),
+                         max_length=12).alias("marked"),
+    )
+
+
+Q_TRUNCATE_CONTEXT_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+parts AS (
+  SELECT doc_id,
+         tk[1 : ms - 1] AS l,
+         tk[ms : ms + least(2, n - ms + 1) - 1] AS m,
+         tk[ms + 2 : ms + 2 + greatest(n - ms - 1, 0) - 1] AS r
+  FROM (SELECT doc_id, tk, n, CAST(n // 3 AS INT) + 1 AS ms FROM d)
+),
+sized AS (
+  SELECT doc_id, l, m, r, len(l) AS ls, len(r) AS rs,
+         len(l) + len(r) + len(m) AS total
+  FROM parts
+)
+SELECT doc_id,
+  CASE
+    WHEN total <= 12 THEN
+      array_to_string(l || ['[START]'] || m || ['[END]'] || r, ' ')
+    WHEN ls <= 6 THEN
+      array_to_string(l || ['[START]'] || m || ['[END]']
+        || r[1 : greatest(12 - ls, 0)], ' ')
+    WHEN rs <= 6 THEN
+      array_to_string(
+        list_slice(l, greatest(ls - (12 - rs) + 1, 1),
+                   greatest(ls - (12 - rs) + 1, 1) + greatest(12 - rs, 0) - 1)
+        || ['[START]'] || m || ['[END]'] || r, ' ')
+    ELSE
+      array_to_string(
+        list_slice(l, greatest(ls - 6 + 1, 1),
+                   greatest(ls - 6 + 1, 1) + least(ls, 6) - 1)
+        || ['[START]'] || m || ['[END]'] || r[1:6], ' ')
+  END AS marked
+FROM sized
+"""
+
+QUERIES["q32_tag_rewrite"] = (q_tag_rewrite, Q_TAG_REWRITE_SQL)
+QUERIES["q33_truncate_context"] = (q_truncate_context, Q_TRUNCATE_CONTEXT_SQL)
+QUERIES["q34_resolution_cascade"] = (q_resolution_cascade,
+                                     Q_RESOLUTION_CASCADE_SQL)
+QUERIES["q35_lang_priority"] = (q_lang_priority, Q_LANG_PRIORITY_SQL)
+QUERIES["q36_recall_at_k"] = (q_recall_at_k, Q_RECALL_AT_K_SQL)
+QUERIES["q37_el_overlap"] = (q_el_overlap, Q_EL_OVERLAP_SQL)
+QUERIES["q38_multi_seed"] = (q_multi_seed, Q_MULTI_SEED_SQL)
+QUERIES["q39_relaxed_overlap"] = (q_relaxed_overlap, Q_RELAXED_OVERLAP_SQL)
+QUERIES["q40_anchors_solved"] = (q_anchors_solved, Q_ANCHORS_SOLVED_SQL)
 
 # rows-only queries (no SQL oracle; currently none — every driver query
 # is DuckDB-verified)
