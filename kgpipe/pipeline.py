@@ -89,6 +89,7 @@ def run_pipeline(
     dims: dict | None = None,
     cut_mode: str = "local",
     skip_cuts: tuple = (),
+    canonical_map: DataFrame | None = None,
 ) -> dict:
     """Returns dict of stage DataFrames: turns, mentions, candidates,
     linked, enriched, classified, triples. Pass `dims` (from
@@ -99,7 +100,12 @@ def run_pipeline(
     without a parquet roundtrip; measured ~25% faster), "parquet"
     (write+read — the durable-table shape; what checkpoint_dir mode
     always uses), "none" (fully fused — measurement baseline only).
-    skip_cuts: stage names to fuse through regardless of mode."""
+    skip_cuts: stage names to fuse through regardless of mode.
+    canonical_map: optional (qid, canonical_qid) frame (e.g. from
+    canonical.canonicalize_qids over redirect_equivalence_edges) —
+    applied to the accepted/link QIDs after enrichment, BEFORE
+    classification features are consumed and triples are emitted
+    (north_rule canonicalization step). Broadcast joins, no shuffle."""
     dims = dims or build_dims(spark, entity_kb, kb_args, mention_counts)
     title_map = dims["title_map"]
     alias_map = dims["alias_map"]
@@ -199,6 +205,12 @@ def run_pipeline(
             "decisions",
         )
         enriched = cut(attach_decisions(linked, decisions), "enriched")
+
+    if canonical_map is not None:
+        from kgpipe.canonical import apply_canonicalization
+
+        enriched = apply_canonicalization(
+            enriched, canonical_map, ["accepted_qid", "link_qid"])
 
     if ensemble_seeds > 1:
         from kgpipe.classify import classify_ensemble

@@ -88,3 +88,38 @@ def test_redirect_equivalence_and_apply(spark):
            for r in apply_canonicalization(facts, mapping, ["link_qid"]).collect()}
     # Q9 collapses onto Q1 (min numeric); unmapped ids pass through
     assert out == {"m1": "Q1", "m2": "Q1", "m3": "Q4", "m4": "Q0"}
+
+
+def test_pipeline_canonicalization_applied(spark, fixture_set):
+    """north_rule: canonical QIDs applied before triple emission — a
+    mapped entity's links_to objects and QID-fact subjects are rewritten
+    to the component representative; unmapped QIDs pass through."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.pipeline import run_pipeline
+
+    base = run_pipeline(
+        spark, fixture_set["transcripts"], fixture_set["entity_kb"],
+        fixture_set["kb_args"], fixture_set["mention_counts"],
+        fixture_set["wiki_summaries"], language="en",
+    )
+    linked_qids = [r["obj"] for r in base["triples"]
+                   .filter((F.col("pred") == "links_to") & (F.col("obj") != "Q0"))
+                   .select("obj").distinct().collect()]
+    victim = sorted(linked_qids)[-1]
+    cmap = spark.createDataFrame([(victim, "Q1")],
+                                 "qid string, canonical_qid string")
+
+    res = run_pipeline(
+        spark, fixture_set["transcripts"], fixture_set["entity_kb"],
+        fixture_set["kb_args"], fixture_set["mention_counts"],
+        fixture_set["wiki_summaries"], language="en", canonical_map=cmap,
+    )
+    links = {r["obj"] for r in res["triples"]
+             .filter(F.col("pred") == "links_to").collect()}
+    subjs = {r["subj"] for r in res["triples"]
+             .filter(F.col("pred") == "described_as").collect()}
+    assert victim not in links and "Q1" in links
+    assert victim not in subjs and "Q1" in subjs
+    # unmapped qids untouched
+    assert links - {"Q1", "Q0"} <= set(linked_qids)
