@@ -1685,6 +1685,70 @@ SELECT doc_id,
 FROM sized
 """
 
+_Q41_TAG = ("CASE length({t}) % 5 WHEN 0 THEN 'O' WHEN 1 THEN 'B-X'"
+            " WHEN 2 THEN 'I-X' WHEN 3 THEN 'B-Y' ELSE 'I-Y' END")
+
+
+def q_subword_align(spark, sf_dir):
+    """Q6 subword label alignment (run_ner.py:454-487) with the
+    deterministic chunk tokenizer and label_all_tokens=True (exercises
+    the B→I conversion) — pandas-UDF vs SQL-flatten twin."""
+    from kgpipe.seq_compat import align_subword_labels_udf
+
+    tagged = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).withColumn(
+        "tags",
+        F.expr("transform(words, t -> " + _Q41_TAG.format(t="t") + ")"),
+    )
+    aligned = tagged.withColumn(
+        "a", align_subword_labels_udf(label_all_tokens=True)("words", "tags")
+    )
+    return aligned.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("a.subtokens", "a.aligned_labels"))
+        .alias("spos0", "z"),
+    ).select(
+        "doc_id", (F.col("spos0")).cast("long").alias("spos"),
+        F.col("z.subtokens").alias("subtoken"),
+        F.col("z.aligned_labels").alias("label"),
+    )
+
+
+Q_SUBWORD_ALIGN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+tagged AS (SELECT doc_id, pos, n, token,
+                  {_Q41_TAG.format(t='token')} AS tag FROM toks),
+pieces AS (
+  SELECT doc_id, pos, j,
+         substring(token, (j - 1) * 4 + 1, 4) AS subtoken,
+         CASE WHEN j = 1 THEN tag
+              WHEN substring(tag, 1, 1) = 'B' THEN 'I-' || substring(tag, 3)
+              ELSE tag END AS label
+  FROM tagged, LATERAL (
+    SELECT unnest(range(1,
+      greatest(CAST(ceil(length(token) / 4.0) AS INT), 1) + 1)) AS j)
+),
+specials AS (
+  SELECT DISTINCT doc_id, 0 AS pos, 1 AS j, '[CLS]' AS subtoken,
+         '-100' AS label FROM toks
+  UNION ALL
+  SELECT DISTINCT doc_id, n + 1, 1, '[SEP]', '-100' FROM toks
+),
+allrows AS (SELECT * FROM pieces UNION ALL SELECT * FROM specials)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, j) - 1
+            AS BIGINT) AS spos,
+       subtoken, label
+FROM allrows
+"""
+
+
 QUERIES["q32_tag_rewrite"] = (q_tag_rewrite, Q_TAG_REWRITE_SQL)
 QUERIES["q33_truncate_context"] = (q_truncate_context, Q_TRUNCATE_CONTEXT_SQL)
 QUERIES["q34_resolution_cascade"] = (q_resolution_cascade,
@@ -1695,6 +1759,7 @@ QUERIES["q37_el_overlap"] = (q_el_overlap, Q_EL_OVERLAP_SQL)
 QUERIES["q38_multi_seed"] = (q_multi_seed, Q_MULTI_SEED_SQL)
 QUERIES["q39_relaxed_overlap"] = (q_relaxed_overlap, Q_RELAXED_OVERLAP_SQL)
 QUERIES["q40_anchors_solved"] = (q_anchors_solved, Q_ANCHORS_SOLVED_SQL)
+QUERIES["q41_subword_align"] = (q_subword_align, Q_SUBWORD_ALIGN_SQL)
 
 # rows-only queries (no SQL oracle; currently none — every driver query
 # is DuckDB-verified)

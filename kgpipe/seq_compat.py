@@ -126,3 +126,59 @@ def subfinder_udf(tokens: pd.Series, pattern: pd.Series) -> pd.Series:
     return pd.Series([
         subfinder(list(t), list(p)) for t, p in zip(tokens, pattern)
     ])
+
+
+# ------------------------------------------------- Q6 subword alignment
+
+IGNORE_LABEL = "-100"
+SUBWORD_CHUNK = 4
+
+
+def subword_pieces(word: str, chunk: int = SUBWORD_CHUNK) -> List[str]:
+    """Deterministic subword tokenizer stand-in: fixed-width character
+    chunks (the sandbox has no HF fast tokenizer; the alignment logic
+    below is tokenizer-agnostic — it only consumes the pieces-per-word
+    structure, exactly like word_ids())."""
+    return [word[i:i + chunk] for i in range(0, len(word), chunk)] or [word]
+
+
+def _b_to_i(label: str) -> str:
+    """b_to_i_label semantics (run_ner.py:407-414): B-x → I-x when the
+    I- label exists in the same taxonomy; everything else unchanged."""
+    return "I-" + label[2:] if label.startswith("B-") else label
+
+
+def align_subword_labels(words: List[str], labels: List[str],
+                         label_all_tokens: bool = False,
+                         chunk: int = SUBWORD_CHUNK) -> Tuple[List[str], List[str]]:
+    """Q6 token/subword label alignment (run_ner.py:454-487
+    tokenize_and_align_labels): special tokens get -100; the first
+    subtoken of each word gets the word's label; continuation subtokens
+    get -100, or the B→I-converted label under label_all_tokens."""
+    subtokens, out = ["[CLS]"], [IGNORE_LABEL]
+    for w, lab in zip(words, labels):
+        pieces = subword_pieces(w, chunk)
+        subtokens.extend(pieces)
+        out.append(lab)
+        cont = _b_to_i(lab) if label_all_tokens else IGNORE_LABEL
+        out.extend([cont] * (len(pieces) - 1))
+    subtokens.append("[SEP]")
+    out.append(IGNORE_LABEL)
+    return subtokens, out
+
+
+_ALIGN_SCHEMA = StructType([
+    StructField("subtokens", ArrayType(StringType())),
+    StructField("aligned_labels", ArrayType(StringType())),
+])
+
+
+def align_subword_labels_udf(label_all_tokens: bool = False):
+    @F.pandas_udf(_ALIGN_SCHEMA)
+    def udf(words: pd.Series, labels: pd.Series) -> pd.DataFrame:
+        rows = [align_subword_labels(list(w), list(l), label_all_tokens)
+                for w, l in zip(words, labels)]
+        return pd.DataFrame(
+            {"subtokens": [r[0] for r in rows],
+             "aligned_labels": [r[1] for r in rows]})
+    return udf

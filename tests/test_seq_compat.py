@@ -38,3 +38,19 @@ def test_subfinder_tag_constraint():
     toks = ["a", "b", "a", "b"]
     tags = ["B-X", "I-X", "O", "O"]
     assert subfinder(toks, ["a", "b"], tags) == [2]
+
+
+def test_align_subword_labels_reference_semantics():
+    from kgpipe.seq_compat import align_subword_labels
+
+    words = ["abcdefgh", "io", "xyzzyxyzz"]
+    labels = ["B-PER", "I-PER", "O"]
+    st, al = align_subword_labels(words, labels)
+    assert st == ["[CLS]", "abcd", "efgh", "io", "xyzz", "yxyz", "z", "[SEP]"]
+    assert al == ["-100", "B-PER", "-100", "I-PER", "O", "-100", "-100", "-100"]
+    # label_all_tokens: continuations get the B->I converted label
+    _, al2 = align_subword_labels(words, labels, label_all_tokens=True)
+    assert al2 == ["-100", "B-PER", "I-PER", "I-PER", "O", "O", "O", "-100"]
+    # empty word (double-space artifact) still yields one piece
+    st3, al3 = align_subword_labels([""], ["O"])
+    assert st3 == ["[CLS]", "", "[SEP]"] and al3 == ["-100", "O", "-100"]
