@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "q28_lsh_buckets",
     "q29_lsh_cosine_verify",
     "q31_class_report",
+    # new in r3: banded multi-table ANN + W4 context window
+    "q42_lsh_multitable",
+    "q43_context_window",
 ]
 
 
@@ -79,6 +82,12 @@ def main():
         "queries": timings,
         "sf": float(sf),
         "cpus": int(cpus),
+        # methodology disclosure (frozen since r2): value == sum of
+        # per-query best-of-2 trials; wall_seconds is the measured
+        # end-to-end wall time including both trials of every query
+        "sum_best_of_2": total,
+        "wall_seconds": wall,
+        "trials_per_query": 2,
     }))
     spark.stop()
 

@@ -29,10 +29,34 @@ drop-in replacement when the package is available.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from kgpipe.kb import qid_num
+
+# backend actually used by the last connected_components call:
+# "graphframes" when the package + jar are importable, else "loop"
+last_cc_backend: str | None = None
+
+
+def _graphframes_cc(sym: DataFrame, keyf, max_iter: int) -> DataFrame:
+    """GraphFrames drop-in (used when the graphframes package + jar are
+    present — not in this sandbox): run its scalable CC, then remap each
+    component id to the member node minimizing keyf so the output
+    contract (deterministic min-key representative) is identical to the
+    hash-to-min loop."""  # pragma: no cover - requires graphframes jar
+    from graphframes import GraphFrame
+
+    vertices = sym.select(F.col("a").alias("id")).distinct()
+    g = GraphFrame(vertices, sym.select(F.col("a").alias("src"),
+                                        F.col("b").alias("dst")))
+    cc = g.connectedComponents()  # (id, component: long)
+    reps = (
+        cc.groupBy("component")
+        .agg(F.min_by("id", keyf(F.col("id"))).alias("rep"))
+    )
+    return cc.join(reps, "component").select(
+        F.col("id").alias("node"), F.col("rep").alias("component"))
 
 
 def connected_components(
@@ -41,12 +65,19 @@ def connected_components(
     dst_col: str = "dst",
     key=None,
     max_iter: int = 50,
+    backend: str = "auto",
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component); component is the
     member node minimizing `key(node)` (default: lexicographic node).
     Isolated nodes don't appear in edges and map to themselves — union
     them in downstream (canonicalize_qids leaves unmapped ids as-is).
+
+    backend: "auto" uses GraphFrames when importable (closing the
+    module-docstring promise) and falls back to the hash-to-min loop;
+    "loop" / "graphframes" force one path. kgpipe.canonical
+    .last_cc_backend records which path ran.
     """
+    global last_cc_backend
     keyf = key or (lambda c: c)
 
     e = edges.select(
@@ -58,6 +89,17 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+    if backend in ("auto", "graphframes"):
+        try:
+            import graphframes  # noqa: F401
+
+            last_cc_backend = "graphframes"
+            return _graphframes_cc(sym, keyf, max_iter)  # pragma: no cover
+        except ImportError:
+            if backend == "graphframes":
+                raise
+    last_cc_backend = "loop"
 
     def lab_struct(node_col):
         return F.struct(keyf(node_col).alias("k"), node_col.alias("n"))
@@ -86,28 +128,34 @@ def connected_components(
         )
         stepped = labels.join(nbr, "node", "left").select(
             "node",
+            F.col("comp").alias("old_comp"),
             F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
         )
         # (2) pointer jump: comp ← comp(comp.n) — path compression
         mapping = stepped.select(
             F.col("node").alias("m_node"), F.col("comp").alias("m_comp")
         )
+        new_comp = F.least("comp", F.coalesce("m_comp", "comp"))
+        # the convergence check rides the SAME job as the per-round
+        # localCheckpoint via a Dataset observation (changed-label count
+        # as an accumulator metric) — 1 job per round instead of the
+        # 3 (checkpoint + join + count) a driver-side recount costs;
+        # at billion-edge scale the loop's serial job floor halves
+        obs = Observation()
         jumped = (
             stepped.join(mapping, stepped["comp.n"] == mapping["m_node"], "left")
             .select(
                 "node",
-                F.least("comp", F.coalesce("m_comp", "comp")).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp.getField("n") != F.col("old_comp").getField("n"))
+                .cast("long").alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("changed"))
+            .select("node", "comp")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.select("node", F.col("comp.n").alias("new_n"))
-            .join(labels.select("node", F.col("comp.n").alias("old_n")), "node")
-            .filter(F.col("new_n") != F.col("old_n"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
 
     out = labels.select("node", F.col("comp.n").alias("component"))

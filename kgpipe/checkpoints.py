@@ -111,9 +111,17 @@ def commit_stage(df: DataFrame, path: str, stage: str,
         json.dump(manifest, f, indent=2)
     os.replace(tmp, _manifest_path(path))  # atomic swap
 
-    # GC superseded/orphaned version dirs (best-effort)
+    # GC superseded/orphaned version dirs (best-effort). The PARENT
+    # version is retained: a DataFrame obtained from load_stage before
+    # this commit still reads its files lazily, so deleting the
+    # immediately-superseded snapshot would fail that reader at its
+    # next action. Only versions strictly older than the parent (two
+    # commits back, or orphans from crashed writes) are collected.
+    keep = {f"v{version:06d}"}
+    if prev:
+        keep.add(f"v{prev['version']:06d}")
     for name in os.listdir(path):
-        if name.startswith("v") and name != f"v{version:06d}":
+        if name.startswith("v") and name not in keep:
             import shutil
 
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)

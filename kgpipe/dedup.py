@@ -30,13 +30,53 @@ SIMHASH_B = 12345
 SIMHASH_M = 2147483648
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup groups: (text, keep_id = min doc_id, n_dups)."""
-    return (
-        df.groupBy(text_col)
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
-        .filter(F.col("n_dups") > 1)
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     digest=None,
+                     include_singletons: bool = False) -> DataFrame:
+    """Exact dedup groups: (text, keep_id = min doc_id, n_dups);
+    with include_singletons=True every document appears (unique texts
+    as their own n_dups=1 group — the q11 full-inventory contract).
+
+    Two-pass digest shape for 100 TB corpora: pass 1 groups by a 64-bit
+    digest of the text, so the big shuffle carries (digest, doc_id) —
+    ~8+8 bytes/row instead of full document bodies (~50× less shuffle
+    IO on web documents). Only rows whose digest repeats (the duplicate
+    candidates, a tiny fraction of a deduplicated crawl) proceed to
+    pass 2, which verifies with an exact group-by on the raw text —
+    so a digest COLLISION can never merge two different documents; it
+    only costs a few extra rows in the small verified pass.
+
+    `digest` is a pluggable Column fn (default xxhash64 — safe because
+    the verification pass makes the result digest-independent; tests
+    inject a deliberately-colliding digest to prove it)."""
+    digest = digest or (lambda c: F.xxhash64(c))
+    d = df.select(F.col("doc_id"), F.col(text_col),
+                  digest(F.col(text_col)).alias("_digest"))
+    dup_digests = (
+        d.groupBy("_digest").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_digest")
     )
+    candidates = d.join(dup_digests, "_digest", "left_semi")
+    grouped = (
+        candidates.groupBy(text_col)
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+    if include_singletons:
+        # digest-unique rows are provably text-unique (equal text ⇒
+        # equal digest), so they join the output without ever being
+        # shuffled by text; collision-split candidates (n_dups == 1
+        # after verification) come back through `grouped` unfiltered
+        singles = d.join(dup_digests, "_digest", "left_anti").select(
+            F.col(text_col),
+            F.col("doc_id").alias("keep_id"),
+            F.lit(1).cast("long").alias("n_dups"),
+        )
+        return (
+            grouped.select(text_col, "keep_id", "n_dups")
+            .unionByName(singles)
+        )
+    return grouped.filter(F.col("n_dups") > 1)
 
 
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:
@@ -59,11 +99,29 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                  max_df: int = 3) -> DataFrame:
+                  max_df: int | None = 3,
+                  max_df_frac: float | None = None) -> DataFrame:
     """Near-dup pairs by exact shingle Jaccard, with candidate pruning
     through rare shingles (document frequency ≤ max_df) — the join-side
     guard that keeps the pair space linear under a tiny vocabulary.
-    Both docs of a reported pair satisfy |A∩B| / |A∪B| ≥ threshold."""
+    Both docs of a reported pair satisfy |A∩B| / |A∪B| ≥ threshold.
+
+    max_df sizing: an ABSOLUTE cap silently empties the candidate set
+    on large corpora (boilerplate shingles shared by thousands of pages
+    all exceed it, and near-dup pairs whose shared shingles are merely
+    "uncommon" — df 4..50 on a 10⁹-doc crawl — are never joined: a
+    recall cliff, not a crash). Pass `max_df_frac` to make the cap
+    corpus-RELATIVE: max_df = max(2, ceil(frac · n_docs)), computed
+    with one count job. Trade-off: a larger cap admits more candidate
+    pairs through the equi-join (cost grows ~quadratically inside a
+    shingle bucket), but every admitted pair is still exactly verified;
+    frac ≈ a few percent keeps buckets bounded while tracking corpus
+    growth. max_df_frac overrides max_df when both are given."""
+    if max_df_frac is not None:
+        import math
+
+        n_docs = df.count()
+        max_df = max(2, math.ceil(max_df_frac * n_docs))
     sh = shingles(df, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 

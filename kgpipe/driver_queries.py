@@ -324,13 +324,17 @@ FROM part GROUP BY 1
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup groups over documents (keep = min doc_id)."""
-    return (
-        t(spark, sf_dir, "documents")
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
-        .select("keep_id", "n_dups")
-    )
+    """Exact dedup groups over documents (keep = min doc_id), via the
+    two-pass digest plan (dedup.exact_duplicates): the big shuffle
+    carries (xxhash64(text), doc_id); only digest-repeating rows are
+    re-grouped by raw text (collision-proof verification). Output is
+    identical to a direct GROUP BY text — the oracle states exactly
+    that."""
+    from kgpipe.dedup import exact_duplicates
+
+    return exact_duplicates(
+        t(spark, sf_dir, "documents"), include_singletons=True
+    ).select("keep_id", "n_dups")
 
 
 Q_DEDUP_EXACT_SQL = """
@@ -1749,6 +1753,105 @@ FROM allrows
 """
 
 
+# ---------------------------------------------- q42 multi-table LSH ANN
+
+def q_lsh_multitable_verify(spark, sf_dir):
+    """Banded multi-table cosine LSH (4 tables × 4 planes — the recall
+    fix over the single 8-plane table, mirroring MinHash banding) →
+    exact-cosine verification of the union of per-table candidates.
+    The production ANN composition: N bucket equi-joins, exact re-rank
+    only inside buckets."""
+    from kgpipe.similarity import _dot, _norm, lsh_multitable_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = lsh_multitable_pairs(emb, n_tables=4, planes_per_table=4)
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .select("a", "b", "cosine")
+    )
+
+
+def _lsh_multitable_sql(n_tables: int, planes_per_table: int) -> str:
+    n_planes = n_tables * planes_per_table
+    projs, _ = _lsh_proj_sql(n_planes)
+    buckets = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN proj_{t_ * planes_per_table + k} > 0"
+            f" THEN {2 ** k} ELSE 0 END)"
+            for k in range(planes_per_table)
+        )
+        + f" AS BIGINT) AS bucket_{t_}"
+        for t_ in range(n_tables)
+    )
+    tbl_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t_} AS tbl, bucket_{t_} AS bucket FROM b"
+        for t_ in range(n_tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, {buckets} FROM (SELECT vec_id, {projs} FROM v)
+),
+tb AS ({tbl_union}),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM tb l JOIN tb r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT p.a, p.b,
+       CAST(round(list_dot_product(va.v, vb.v)
+            / (sqrt(list_dot_product(va.v, va.v))
+               * sqrt(list_dot_product(vb.v, vb.v))), 6) AS DOUBLE) AS cosine
+FROM pairs p JOIN v va ON va.vec_id = p.a JOIN v vb ON vb.vec_id = p.b
+WHERE round(list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v))
+         * sqrt(list_dot_product(vb.v, vb.v))), 6) >= 0.2
+"""
+
+
+Q_LSH_MULTITABLE_SQL = _lsh_multitable_sql(4, 4)
+
+
+# ---------------------------------------------- q43 W4 context window
+
+def q_context_window(spark, sf_dir):
+    """W4 cross-turn context (±2 turns of text per turn) over the
+    transcript stand-in — the windowed collect_list that feeds the
+    reference's sentence-context marking (run_genre.py:206-212),
+    serialized with a separator for cross-engine hashing."""
+    from kgpipe.mentions import context_window
+
+    out = context_window(doc_transcripts(spark, sf_dir), k=2)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.size("context_texts").cast("long").alias("n_ctx"),
+        F.concat_ws(" • ", "context_texts").alias("context"),
+    )
+
+
+Q_CONTEXT_WINDOW_SQL = f"""
+WITH tr AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       CAST(len(ctx) AS BIGINT) AS n_ctx,
+       array_to_string(ctx, ' • ') AS context
+FROM (
+  SELECT conv_id, turn_idx,
+         list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ctx
+  FROM tr
+)
+"""
+
+
 QUERIES["q32_tag_rewrite"] = (q_tag_rewrite, Q_TAG_REWRITE_SQL)
 QUERIES["q33_truncate_context"] = (q_truncate_context, Q_TRUNCATE_CONTEXT_SQL)
 QUERIES["q34_resolution_cascade"] = (q_resolution_cascade,
@@ -1760,6 +1863,8 @@ QUERIES["q38_multi_seed"] = (q_multi_seed, Q_MULTI_SEED_SQL)
 QUERIES["q39_relaxed_overlap"] = (q_relaxed_overlap, Q_RELAXED_OVERLAP_SQL)
 QUERIES["q40_anchors_solved"] = (q_anchors_solved, Q_ANCHORS_SOLVED_SQL)
 QUERIES["q41_subword_align"] = (q_subword_align, Q_SUBWORD_ALIGN_SQL)
+QUERIES["q42_lsh_multitable"] = (q_lsh_multitable_verify, Q_LSH_MULTITABLE_SQL)
+QUERIES["q43_context_window"] = (q_context_window, Q_CONTEXT_WINDOW_SQL)
 
 # rows-only queries (no SQL oracle; currently none — every driver query
 # is DuckDB-verified)

@@ -9,8 +9,13 @@ write/read in the engine:
     kgpipe.io.set_table_format("iceberg")
 
 When the configured format's data source is not loadable (e.g. the
-iceberg-spark-runtime jar is absent) the write falls back to parquet and
-records that in `last_fallback` so callers/tests can assert on it.
+iceberg-spark-runtime jar is absent) the write falls back to parquet.
+The format ACTUALLY used is recorded per table in a sidecar marker file
+(`<path>/_kgpipe_format`), and read_table dispatches on that marker —
+never on process-global state — so a parquet-fallback write of one
+table cannot misroute reads of a different table that really was
+written as iceberg. `last_fallback` remains as a test/observability
+flag for the most recent write only.
 """
 
 from __future__ import annotations
@@ -21,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _FORMAT: str | None = None  # None → env var → default "parquet"
 last_fallback: str | None = None
+
+_MARKER = "_kgpipe_format"
 
 
 def table_format() -> str:
@@ -34,31 +41,63 @@ def set_table_format(fmt: str | None) -> None:
     _FORMAT = fmt
 
 
+def _write_marker(path: str, fmt: str) -> None:
+    try:
+        with open(os.path.join(path, _MARKER), "w", encoding="utf8") as f:
+            f.write(fmt)
+    except OSError:  # non-local filesystem path — marker is best-effort
+        pass
+
+
+def _read_marker(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _MARKER), "r", encoding="utf8") as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite",
-                partition_by: list[str] | None = None) -> None:
+                partition_by: list[str] | None = None) -> str:
     """Write df via the configured format; parquet fallback when the
-    format's data source is unavailable in this runtime."""
+    format's data source is unavailable in this runtime. Returns the
+    format actually used and records it in the per-table marker."""
     global last_fallback
     fmt = table_format()
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    used = fmt
     if fmt == "parquet":
         writer.parquet(path)
-        return
-    try:
-        writer.format(fmt).save(path)
         last_fallback = None
-    except Exception as e:  # data source missing → parquet fallback
-        if "ClassNotFound" not in str(e) and "Failed to find" not in str(e):
-            raise
-        last_fallback = f"{fmt}: {type(e).__name__}"
-        writer.parquet(path)
+    else:
+        try:
+            writer.format(fmt).save(path)
+            last_fallback = None
+        except Exception as e:  # data source missing → parquet fallback
+            if "ClassNotFound" not in str(e) and "Failed to find" not in str(e):
+                raise
+            last_fallback = f"{fmt}: {type(e).__name__}"
+            used = "parquet"
+            writer.parquet(path)
+    _write_marker(path, used)
+    return used
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table written by write_table, dispatching on the per-table
+    format marker. A marker is authoritative: it names the format the
+    write actually used, so read errors are surfaced, not masked. Only
+    marker-less (legacy / externally-written) dirs get the configured-
+    format try with a parquet fallback."""
+    marked = _read_marker(path)
+    if marked is not None:
+        if marked == "parquet":
+            return spark.read.parquet(path)
+        return spark.read.format(marked).load(path)
     fmt = table_format()
-    if fmt == "parquet" or last_fallback is not None:
+    if fmt == "parquet":
         return spark.read.parquet(path)
     try:
         return spark.read.format(fmt).load(path)

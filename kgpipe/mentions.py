@@ -217,7 +217,9 @@ def detect_mentions(turns: DataFrame, surfaces: List[str] | None = None,
 
 
 def detect_mentions_join(turns: DataFrame, surfaces_df: DataFrame,
-                         surface_col: str = "surface") -> DataFrame:
+                         surface_col: str = "surface",
+                         broadcast_dim: bool | None = None,
+                         broadcast_max_surfaces: int = 2_000_000) -> DataFrame:
     """Fully-distributed gazetteer tagging: same output as
     detect_mentions(surfaces=...), but the surface universe stays a
     DataFrame end-to-end — no driver-side collect, no dict broadcast.
@@ -230,8 +232,21 @@ def detect_mentions_join(turns: DataFrame, surfaces_df: DataFrame,
     folded left-to-right: accept iff start ≥ previous accepted end —
     exactly the _tag_tokens scan order). The only shuffle is the
     per-turn groupBy, keyed on (conv_id, turn_idx).
+
+    Broadcast policy: gazetteer-sized dims join fastest broadcast, but a
+    KB-sized surface set (10⁷–10⁸ rows) must NOT be force-broadcast — it
+    would OOM driver and executors. `broadcast_dim=None` (default)
+    probes the surface count with a short-circuiting limit scan and
+    hints broadcast only below `broadcast_max_surfaces`; above it the
+    join is left to AQE/autoBroadcastJoinThreshold (shuffle hash join on
+    `_first_tok` at KB scale). Pass True/False to skip the probe.
     """
-    dim = F.broadcast(
+    if broadcast_dim is None:
+        broadcast_dim = (
+            surfaces_df.limit(broadcast_max_surfaces + 1).count()
+            <= broadcast_max_surfaces
+        )
+    dim = (
         surfaces_df.select(F.split(F.col(surface_col), " ").alias("s_toks"))
         .distinct()
         .select(
@@ -240,6 +255,8 @@ def detect_mentions_join(turns: DataFrame, surfaces_df: DataFrame,
             F.size("s_toks").alias("s_len"),
         )
     )
+    if broadcast_dim:
+        dim = F.broadcast(dim)
     cand = (
         turns.select(
             "conv_id", "turn_idx", "tokens",

@@ -142,29 +142,57 @@ def subword_pieces(word: str, chunk: int = SUBWORD_CHUNK) -> List[str]:
     return [word[i:i + chunk] for i in range(0, len(word), chunk)] or [word]
 
 
-def _b_to_i(label: str) -> str:
-    """b_to_i_label semantics (run_ner.py:407-414): B-x → I-x when the
-    I- label exists in the same taxonomy; everything else unchanged."""
-    return "I-" + label[2:] if label.startswith("B-") else label
+def _b_to_i(label: str, label_list: Optional[List[str]] = None) -> str:
+    """b_to_i_label semantics (run_ner.py:407-414): B-x → I-x, but only
+    when the matching I-x exists in the label taxonomy (when one is
+    given); everything else unchanged. label_list=None converts
+    unconditionally (open taxonomy)."""
+    if label.startswith("B-"):
+        i_label = "I-" + label[2:]
+        if label_list is None or i_label in label_list:
+            return i_label
+    return label
 
 
-def align_subword_labels(words: List[str], labels: List[str],
-                         label_all_tokens: bool = False,
-                         chunk: int = SUBWORD_CHUNK) -> Tuple[List[str], List[str]]:
-    """Q6 token/subword label alignment (run_ner.py:454-487
-    tokenize_and_align_labels): special tokens get -100; the first
-    subtoken of each word gets the word's label; continuation subtokens
-    get -100, or the B→I-converted label under label_all_tokens."""
+def align_from_pieces(pieces_per_word: List[List[str]], labels: List[str],
+                      label_all_tokens: bool = False,
+                      label_list: Optional[List[str]] = None,
+                      ) -> Tuple[List[str], List[str]]:
+    """Q6 alignment core over an EXTERNALLY-supplied tokenization: one
+    piece list per word — exactly the structure a HF fast tokenizer's
+    word_ids() induces (run_ner.py:454-487). Special tokens get -100;
+    the first subtoken of each word gets the word's label; continuation
+    subtokens get -100, or the B→I-converted label under
+    label_all_tokens (conversion gated on label_list when given).
+
+    A user with a real tokenizer plugs in here: materialize a
+    `pieces array<array<string>>` column (one tokenizer call per word
+    batch, outside Spark or in its own mapInPandas stage) and alignment
+    needs no re-plumbing — see align_from_pieces_udf."""
     subtokens, out = ["[CLS]"], [IGNORE_LABEL]
-    for w, lab in zip(words, labels):
-        pieces = subword_pieces(w, chunk)
+    for pieces, lab in zip(pieces_per_word, labels):
+        pieces = list(pieces) or [""]
         subtokens.extend(pieces)
         out.append(lab)
-        cont = _b_to_i(lab) if label_all_tokens else IGNORE_LABEL
+        cont = (_b_to_i(lab, label_list) if label_all_tokens
+                else IGNORE_LABEL)
         out.extend([cont] * (len(pieces) - 1))
     subtokens.append("[SEP]")
     out.append(IGNORE_LABEL)
     return subtokens, out
+
+
+def align_subword_labels(words: List[str], labels: List[str],
+                         label_all_tokens: bool = False,
+                         chunk: int = SUBWORD_CHUNK,
+                         label_list: Optional[List[str]] = None,
+                         ) -> Tuple[List[str], List[str]]:
+    """Q6 token/subword label alignment (run_ner.py:454-487
+    tokenize_and_align_labels) with the deterministic chunk-tokenizer
+    stand-in supplying the pieces; delegates to align_from_pieces."""
+    return align_from_pieces(
+        [subword_pieces(w, chunk) for w in words], labels,
+        label_all_tokens=label_all_tokens, label_list=label_list)
 
 
 _ALIGN_SCHEMA = StructType([
@@ -173,11 +201,31 @@ _ALIGN_SCHEMA = StructType([
 ])
 
 
-def align_subword_labels_udf(label_all_tokens: bool = False):
+def align_subword_labels_udf(label_all_tokens: bool = False,
+                             label_list: Optional[List[str]] = None):
     @F.pandas_udf(_ALIGN_SCHEMA)
     def udf(words: pd.Series, labels: pd.Series) -> pd.DataFrame:
-        rows = [align_subword_labels(list(w), list(l), label_all_tokens)
+        rows = [align_subword_labels(list(w), list(l), label_all_tokens,
+                                     label_list=label_list)
                 for w, l in zip(words, labels)]
+        return pd.DataFrame(
+            {"subtokens": [r[0] for r in rows],
+             "aligned_labels": [r[1] for r in rows]})
+    return udf
+
+
+def align_from_pieces_udf(label_all_tokens: bool = False,
+                          label_list: Optional[List[str]] = None):
+    """Q6 adapter UDF for externally-supplied tokenizations: consumes a
+    `pieces array<array<string>>` column (pieces_per_word, e.g. from a
+    real HF fast tokenizer run in its own stage) + the word labels.
+    Alignment logic is shared with the stand-in path — only the piece
+    producer differs."""
+    @F.pandas_udf(_ALIGN_SCHEMA)
+    def udf(pieces: pd.Series, labels: pd.Series) -> pd.DataFrame:
+        rows = [align_from_pieces([list(p) for p in pw], list(l),
+                                  label_all_tokens, label_list=label_list)
+                for pw, l in zip(pieces, labels)]
         return pd.DataFrame(
             {"subtokens": [r[0] for r in rows],
              "aligned_labels": [r[1] for r in rows]})

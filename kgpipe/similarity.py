@@ -80,29 +80,41 @@ def cosine_topk(
     )
 
 
+def _plane_proj(vec_col: str, p_global: int):
+    """Projection of the vector onto deterministic hyperplane p_global:
+    Σ_d v_d · sin(1 + (p_global+1)(d+1)). Ordered left-to-right fold →
+    bit-reproducible in any engine with libm sin()."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.expr(
+                f"transform(sequence(1, size({vec_col})),"
+                f" d -> sin(cast(1 + {p_global + 1} * (d + 1) as double)))"
+            ),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _bucket_expr(vec_col: str, plane_ids) -> "F.Column":
+    """Bucket key from sign bits of the given global plane indices."""
+    bucket = None
+    for k, p in enumerate(plane_ids):
+        bit = F.when(_plane_proj(vec_col, p) > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** k)
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
 def lsh_bucket(embeddings: DataFrame, vec_col: str = "embedding",
                id_col: str = "vec_id", n_planes: int = N_PLANES) -> DataFrame:
     """Sign-random-projection bucket key per vector: bit_p =
     (Σ_d v_d · sin(1 + (p+1)(d+1))) > 0. Returns (id, bucket)."""
-    bucket = None
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.expr(
-                    f"transform(sequence(1, size({vec_col})),"
-                    f" d -> sin(cast(1 + {p + 1} * (d + 1) as double)))"
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-        term = bit * F.lit(2 ** p)
-        bucket = term if bucket is None else bucket + term
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), bucket.cast("int").alias("bucket")
+        F.col(id_col).alias("vec_id"),
+        _bucket_expr(vec_col, range(n_planes)).alias("bucket"),
     )
 
 
@@ -114,4 +126,53 @@ def lsh_candidate_pairs(embeddings: DataFrame, **kw) -> DataFrame:
         .filter(F.col("l.vec_id") < F.col("r.vec_id"))
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"),
                 "bucket")
+    )
+
+
+def lsh_bucket_tables(embeddings: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", n_tables: int = 4,
+                      planes_per_table: int = 4) -> DataFrame:
+    """Banded multi-table LSH: N independent hash tables of fewer planes
+    each — the cosine-side analog of MinHash banding (dedup.py). A
+    single K-plane table's recall decays sharply at corpus scale (a
+    near-neighbor pair must agree on ALL K sign bits, P = (1−θ/π)^K);
+    with N tables of K/N planes a pair is a candidate if it agrees on
+    any one table, P = 1 − (1 − (1−θ/π)^(K/N))^N — far higher recall
+    for the same total plane budget, at the cost of N bucket joins
+    (still linear shape, same as the MinHash band joins).
+
+    Global plane index p = table·planes_per_table + plane, weight
+    sin(1 + (p+1)(d+1)) — table 0 with planes_per_table = N_PLANES
+    reproduces lsh_bucket exactly. Returns (vec_id, table, bucket)."""
+    buckets = [
+        _bucket_expr(
+            vec_col,
+            range(t * planes_per_table, (t + 1) * planes_per_table),
+        ).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    wide = embeddings.select(F.col(id_col).alias("vec_id"), *buckets)
+    return wide.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
+        ).alias("table", "bucket"),
+    )
+
+
+def lsh_multitable_pairs(embeddings: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", n_tables: int = 4,
+                         planes_per_table: int = 4) -> DataFrame:
+    """ANN candidate pairs from the multi-table index: same (table,
+    bucket) in ANY table — one equi-join on the exploded index, distinct
+    over tables. Feed to an exact-cosine re-rank (cf. q42) exactly like
+    the single-table verify composition (q29)."""
+    b = lsh_bucket_tables(embeddings, vec_col=vec_col, id_col=id_col,
+                          n_tables=n_tables,
+                          planes_per_table=planes_per_table)
+    return (
+        b.alias("l").join(b.alias("r"), ["table", "bucket"])
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
     )

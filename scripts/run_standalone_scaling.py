@@ -1,0 +1,168 @@
+"""N → 4N EXECUTOR scaling measurement on a real multi-JVM Spark
+standalone cluster (the round-2 verdict's top ask: test the
+multi-executor claim instead of re-measuring the single-JVM proxy).
+
+Topology: 1 master + 4 worker JVMs on this box, each worker offering
+8 cores / 4g. Legs differ ONLY in spark.cores.max:
+  N leg  — cores.max=8  → 1 executor  × 8 cores × 3g
+  4N leg — cores.max=32 → 4 executors × 8 cores × 3g
+Per-executor resources constant; the 4N leg has 4× aggregate heap and
+4 independent GC domains — exactly what a real 4N cluster has and the
+single-JVM local[8/32] proxy structurally cannot have.
+
+Legs are INTERLEAVED (N, 4N, N, 4N, …) and each level reports its best
+trial (sandbox host shows multi-x background-load variance). Event logs
+per leg give job counts + GC time for the BENCH/BASELINE.md table.
+
+Usage: python scripts/run_standalone_scaling.py [n_convs] [n_trials]
+"""
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 80000
+N_TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+EV_ROOT = "/tmp/kgs/eventlogs"
+
+import pyspark  # noqa: E402
+
+SPARK_HOME = os.path.dirname(pyspark.__file__)
+SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
+
+_procs: list = []
+
+
+def _spawn(args, log):
+    f = open(log, "w")
+    p = subprocess.Popen(args, stdout=f, stderr=subprocess.STDOUT,
+                         env={**os.environ, "SPARK_HOME": SPARK_HOME,
+                              "PYSPARK_PYTHON": sys.executable})
+    _procs.append(p)
+    return p
+
+
+def start_cluster(n_workers=4, worker_cores=8, worker_mem="4g"):
+    os.makedirs("/tmp/kgs/logs", exist_ok=True)
+    _spawn([SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+            "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8080"],
+           "/tmp/kgs/logs/master.log")
+    time.sleep(6)
+    for i in range(n_workers):
+        _spawn([SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                "spark://127.0.0.1:7077", "--host", "127.0.0.1",
+                "--cores", str(worker_cores), "--memory", worker_mem,
+                "--webui-port", str(8081 + i)],
+               f"/tmp/kgs/logs/worker{i}.log")
+    time.sleep(10)
+
+
+def stop_cluster():
+    for p in _procs:
+        try:
+            p.send_signal(signal.SIGTERM)
+        except OSError:
+            pass
+    for p in _procs:
+        try:
+            p.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+
+
+def build_pyzip():
+    zpath = "/tmp/kgs/kgpipe.zip"
+    os.makedirs("/tmp/kgs", exist_ok=True)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for py in sorted((REPO / "kgpipe").rglob("*.py")):
+            z.write(py, py.relative_to(REPO))
+    return zpath
+
+
+def run_leg(cores_max: int, trial: int) -> dict:
+    ev_dir = f"{EV_ROOT}/c{cores_max}_t{trial}"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts/standalone_worker.py"),
+         str(cores_max)],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "KGPIPE_EVENTLOG_DIR": ev_dir},
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    r["ev_dir"] = ev_dir
+    return r
+
+
+def eventlog_stats(ev_dir: str) -> dict:
+    """jobs, tasks, total task ms, executor-run ms, JVM GC ms from the
+    leg's event log (driver-side JSON scan, no Spark)."""
+    stats = {"jobs": 0, "tasks": 0, "task_ms": 0, "run_ms": 0, "gc_ms": 0}
+    try:
+        files = [p for p in Path(ev_dir).iterdir() if p.is_file()]
+    except OSError:
+        return stats
+    for f in files:
+        with open(f, errors="replace") as fh:
+            for ln in fh:
+                if '"SparkListenerJobStart"' in ln:
+                    stats["jobs"] += 1
+                elif '"SparkListenerTaskEnd"' in ln:
+                    try:
+                        ev = json.loads(ln)
+                    except ValueError:
+                        continue
+                    stats["tasks"] += 1
+                    ti = ev.get("Task Info", {})
+                    stats["task_ms"] += (ti.get("Finish Time", 0)
+                                         - ti.get("Launch Time", 0))
+                    tm = ev.get("Task Metrics") or {}
+                    stats["run_ms"] += tm.get("Executor Run Time", 0)
+                    stats["gc_ms"] += tm.get("JVM GC Time", 0)
+    return stats
+
+
+def main():
+    if not os.path.exists("/tmp/kgs/transcripts"):
+        subprocess.run([sys.executable, str(REPO / "scripts/gen_input.py"),
+                        str(N_CONVS)], check=True)
+    build_pyzip()
+    shutil.rmtree(EV_ROOT, ignore_errors=True)
+    start_cluster()
+    trials = {8: [], 32: []}
+    try:
+        for i in range(N_TRIALS):
+            for cores in (8, 32):
+                r = run_leg(cores, i)
+                trials[cores].append(r)
+                print(f"trial {i} cores.max={cores} "
+                      f"({r['executors']} executors):", r, flush=True)
+    finally:
+        stop_cluster()
+
+    r1 = max(trials[8], key=lambda r: r["turns_per_sec"])
+    r4 = max(trials[32], key=lambda r: r["turns_per_sec"])
+    eff = (r4["turns_per_sec"] / r1["turns_per_sec"]) / 4.0
+    s1, s4 = eventlog_stats(r1["ev_dir"]), eventlog_stats(r4["ev_dir"])
+    result = {
+        "n_executors": {"N": r1["executors"], "4N": r4["executors"]},
+        "turns": r1["turns"],
+        "best": {"N": r1, "4N": r4},
+        "all_seconds": {"N": [t["seconds"] for t in trials[8]],
+                        "4N": [t["seconds"] for t in trials[32]]},
+        "eventlog": {"N": s1, "4N": s4},
+        "efficiency_N_to_4N": round(eff, 3),
+    }
+    print(json.dumps(result, indent=2))
+    with open(REPO / "BENCH" / "STANDALONE.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

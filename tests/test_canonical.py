@@ -123,3 +123,20 @@ def test_pipeline_canonicalization_applied(spark, fixture_set):
     assert victim not in subjs and "Q1" in subjs
     # unmapped qids untouched
     assert links - {"Q1", "Q0"} <= set(linked_qids)
+
+
+def test_cc_backend_fallback_flag(spark):
+    """GraphFrames is the documented drop-in when available; this
+    container lacks it, so the hash-to-min loop must run and record
+    itself (backend='graphframes' must raise here)."""
+    import pytest as _pytest
+
+    from kgpipe import canonical
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {(r["node"], r["component"])
+           for r in canonical.connected_components(edges).collect()}
+    assert out == {("a", "a"), ("b", "a")}
+    assert canonical.last_cc_backend == "loop"
+    with _pytest.raises(ImportError):
+        canonical.connected_components(edges, backend="graphframes")

@@ -128,3 +128,28 @@ def test_detect_mentions_join_equivalence(spark):
                 .select(*cols).orderBy("mention_id").collect()]
     assert udf_out == join_out
     assert len(udf_out) >= 6
+
+
+def test_detect_mentions_join_broadcast_gate(spark):
+    """The surface dim is only broadcast-hinted below the gate; forcing
+    broadcast_dim=False (the KB-scale path: AQE decides) must produce
+    identical mentions."""
+    from kgpipe.mentions import detect_mentions_join, tokenize, with_turn_order
+
+    df = tokenize(with_turn_order(spark.createDataFrame(
+        [("c1", 0, "user", "barack obama met angela merkel", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")))
+    surf = spark.createDataFrame(
+        [("barack obama",), ("angela merkel",)], "surface string")
+    cols = ["conv_id", "turn_idx", "entity_id", "text", "start", "end"]
+    hinted = {tuple(r) for r in
+              detect_mentions_join(df, surf, broadcast_dim=True)
+              .select(*cols).collect()}
+    unhinted = {tuple(r) for r in
+                detect_mentions_join(df, surf, broadcast_dim=False)
+                .select(*cols).collect()}
+    auto = {tuple(r) for r in detect_mentions_join(df, surf)
+            .select(*cols).collect()}
+    assert hinted == unhinted == auto
+    assert len(hinted) == 2

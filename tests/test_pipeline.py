@@ -126,3 +126,52 @@ def test_io_format_switch_fallback(spark, tmp_path):
 
     io.write_table(df, path)  # parquet default path
     assert spark.read.parquet(path).count() == 1
+
+
+def test_io_marker_dispatch_per_table(spark, tmp_path):
+    """read_table dispatches on the per-table format marker, not on
+    process-global state: a later fallback write of table B must not
+    reroute reads of table A (ADVICE r2, kgpipe/io.py)."""
+    from kgpipe import io
+
+    df_a = spark.createDataFrame([(1, "a")], "id int, v string")
+    df_b = spark.createDataFrame([(2, "b")], "id int, v string")
+    path_a, path_b = str(tmp_path / "ta"), str(tmp_path / "tb")
+
+    used_a = io.write_table(df_a, path_a)      # parquet, marker "parquet"
+    assert used_a == "parquet"
+    assert io._read_marker(path_a) == "parquet"
+
+    io.set_table_format("iceberg")
+    try:
+        used_b = io.write_table(df_b, path_b)  # falls back in sandbox
+        assert used_b == "parquet" and io.last_fallback is not None
+        # table A reads fine regardless of the global flag B's write set
+        assert io.read_table(spark, path_a).collect()[0]["v"] == "a"
+        assert io.read_table(spark, path_b).collect()[0]["v"] == "b"
+    finally:
+        io.set_table_format(None)
+        io.last_fallback = None
+
+
+def test_checkpoint_gc_retains_parent(spark, tmp_path):
+    """commit_stage keeps the immediately-superseded version so a live
+    DataFrame from an earlier load_stage survives one new commit
+    (ADVICE r2, kgpipe/checkpoints.py)."""
+    from kgpipe.checkpoints import commit_stage, load_stage
+
+    path = str(tmp_path / "stage")
+    df1 = spark.createDataFrame([(1,)], "k int")
+    commit_stage(df1, path, "s")
+    live = load_stage(spark, path)          # reads v000001 lazily
+
+    commit_stage(spark.createDataFrame([(2,)], "k int"), path, "s")
+    # v1 (parent) retained → the pre-commit handle still collects
+    assert [r["k"] for r in live.collect()] == [1]
+    assert os.path.exists(os.path.join(path, "v000001"))
+
+    commit_stage(spark.createDataFrame([(3,)], "k int"), path, "s")
+    # two commits later the oldest version is GC'd, parent v2 retained
+    assert not os.path.exists(os.path.join(path, "v000001"))
+    assert os.path.exists(os.path.join(path, "v000002"))
+    assert [r["k"] for r in load_stage(spark, path).collect()] == [3]

@@ -151,3 +151,124 @@ def test_sessionize(spark):
     ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
     out = {r["user_id"]: r["n_sessions"] for r in sessionize(ev).collect()}
     assert out[100] == 2 and out[200] == 1
+
+
+def test_exact_duplicates_forced_collision(spark):
+    """A deliberately-colliding digest (text length) cannot merge
+    different documents: the pass-2 raw-text verification splits the
+    colliding digest group back apart."""
+    rows = [
+        (0, "a b c"),
+        (1, "a b c"),   # true dup of 0
+        (2, "x y z"),   # same LENGTH as 0/1 → digest collision
+        (3, "p q r"),   # same LENGTH too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_duplicates(docs, digest=lambda c: F.length(c)).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 0 and out[0]["n_dups"] == 2
+    # full-inventory mode: every doc appears exactly once, collision
+    # victims as their own n_dups=1 groups
+    full = exact_duplicates(docs, digest=lambda c: F.length(c),
+                            include_singletons=True).collect()
+    assert sorted((r["keep_id"], r["n_dups"]) for r in full) == \
+        [(0, 2), (2, 1), (3, 1)]
+    # default digest (xxhash64) agrees with the plain group-by plan
+    d1 = exact_duplicates(docs).collect()
+    assert [(r["keep_id"], r["n_dups"]) for r in d1] == [(0, 2)]
+
+
+def test_exact_duplicates_include_singletons_counts(spark):
+    docs = _docs(spark)
+    full = exact_duplicates(docs, include_singletons=True)
+    rows = full.collect()
+    # every doc accounted for exactly once across groups
+    assert sum(r["n_dups"] for r in rows) == docs.count()
+    assert {r["keep_id"] for r in rows} == {0, 2, 3, 4}
+
+
+def test_jaccard_max_df_corpus_relative(spark):
+    """An absolute max_df cap silently empties the candidate set when
+    every shared shingle is 'too common'; the corpus-relative cap
+    (max_df_frac) tracks corpus size and keeps recall."""
+    rows = [(i, "a b c d e") for i in range(8)]  # 8 identical docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # shared shingles have df=8 > 3 → absolute cap finds NOTHING
+    assert jaccard_pairs(docs, n=3, threshold=0.5, max_df=3).count() == 0
+    # relative cap: max_df = ceil(1.0 * 8) = 8 → all 28 pairs, J = 1.0
+    rel = jaccard_pairs(docs, n=3, threshold=0.5, max_df_frac=1.0).collect()
+    assert len(rel) == 28
+    assert all(r["jaccard"] == 1.0 for r in rel)
+
+
+def _clustered_embeddings(spark, n_pairs=30, dim=8, noise=0.55):
+    """Deterministic near-duplicate pairs: base vector + perturbed copy
+    (cosine ≈ 0.85-0.95) — each vector's true nearest neighbor is its
+    partner."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(n_pairs):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        pert = base + noise * rng.randn(dim) * 0.35
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in pert]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_multitable_recall_beats_single_table(spark):
+    """Banded multi-table LSH (4 tables × 2 planes) must recover a
+    larger fraction of true nearest-neighbor pairs than one 8-plane
+    table at the SAME total plane budget — the recall fix the single
+    table lacks (a near pair must agree on all 8 bits vs any table's 2)."""
+    from kgpipe.similarity import (
+        lsh_bucket, lsh_bucket_tables, lsh_candidate_pairs,
+        lsh_multitable_pairs,
+    )
+
+    emb = _clustered_embeddings(spark)
+    # ground truth: each vector's exact top-1 neighbor
+    gt = cosine_topk(emb, emb, k=1)
+    gt_pairs = {frozenset((r["query_id"], r["neighbor_id"]))
+                for r in gt.collect()}
+    single = {frozenset((r["a"], r["b"]))
+              for r in lsh_candidate_pairs(emb, n_planes=8).collect()}
+    multi = {frozenset((r["a"], r["b"]))
+             for r in lsh_multitable_pairs(
+                 emb, n_tables=4, planes_per_table=2).collect()}
+    recall_single = len(gt_pairs & single) / len(gt_pairs)
+    recall_multi = len(gt_pairs & multi) / len(gt_pairs)
+    assert recall_multi > recall_single
+    assert recall_multi >= 0.7
+    # consistency: one table of N_PLANES planes IS lsh_bucket
+    t0 = {(r["vec_id"], r["bucket"])
+          for r in lsh_bucket_tables(emb, n_tables=1,
+                                     planes_per_table=8).collect()}
+    b0 = {(r["vec_id"], r["bucket"]) for r in lsh_bucket(emb).collect()}
+    assert t0 == b0
+
+
+def test_decode_backend_flag(spark):
+    """The multimodal decode kernel is an optional import: this
+    container has no Pillow, so the recorded backend must be 'stub'
+    (an environment with PIL flips it without plan changes)."""
+    from kgpipe import multimodal
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    assert multimodal.decode_backend() == ("pil" if has_pil else "stub")
+    if not has_pil:
+        # stub path: features are the documented digest-fold fake
+        media = synthetic_media(spark, n=3)
+        row = extract_features(media, dim=8).filter(F.col("media_id") == 0) \
+            .collect()[0]
+        payload = media.filter(F.col("media_id") == 0).collect()[0]["content"]
+        expect = multimodal._decode_image_stub(bytes(payload), 8)
+        assert all(abs(a - b) < 1e-6          # float32 column vs py floats
+                   for a, b in zip(row["feature"], expect))
