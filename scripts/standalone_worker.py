@@ -26,9 +26,11 @@ cores_max = int(sys.argv[1])
 executor_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 executor_mem = sys.argv[3] if len(sys.argv) > 3 else "3g"
 n_exec_expected = cores_max // executor_cores
+INPUT_DIR = os.environ.get("KGPIPE_INPUT_DIR", "/tmp/kgs")
 
 from kgpipe.session import get_spark  # noqa: E402
 
+cut_mode = os.environ.get("KGPIPE_CUT_MODE", "parquet")
 extra = {
     "spark.executor.cores": str(executor_cores),
     "spark.executor.memory": executor_mem,
@@ -36,20 +38,30 @@ extra = {
     "spark.driver.host": "127.0.0.1",
     # executors run the same interpreter as the driver
     "spark.pyspark.python": sys.executable,
-    # keep locality waits from serializing the small-stage tail
-    "spark.locality.wait": "0s",
+    # NOTE: do NOT zero locality.wait here — with cached/checkpointed
+    # blocks pinned on executors, ANY-locality scheduling turns every
+    # downstream read into a remote block fetch (measured: the 4N leg
+    # ran SLOWER than N under locality.wait=0 + localCheckpoint cuts)
+    "spark.locality.wait": os.environ.get("KGPIPE_LOCALITY_WAIT", "3s"),
+    "spark.ui.showConsoleProgress": "false",
 }
 ev_dir = os.environ.get("KGPIPE_EVENTLOG_DIR")
 if ev_dir:
     os.makedirs(ev_dir, exist_ok=True)
     extra.update({"spark.eventLog.enabled": "true",
-                  "spark.eventLog.dir": ev_dir})
+                  "spark.eventLog.dir": ev_dir,
+                  # plain JSON lines (no zstd) so the driver-side
+                  # parser in run_standalone_scaling.py can read them
+                  "spark.eventLog.compress": "false",
+                  "spark.eventLog.rolling.enabled": "false"})
 
 os.environ.setdefault("KGPIPE_DRIVER_MEM", "4g")  # constant across legs
+shuffle_parts = int(os.environ.get("KGPIPE_SHUFFLE_PARTS",
+                                   max(8, 2 * cores_max)))
 spark = get_spark(f"standalone-{cores_max}",
                   master=os.environ.get("KGPIPE_STANDALONE_MASTER",
                                         "spark://127.0.0.1:7077"),
-                  shuffle_partitions=max(8, 2 * cores_max),
+                  shuffle_partitions=shuffle_parts,
                   extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -71,23 +83,23 @@ n_up = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
 
 from kgpipe.pipeline import build_dims, run_pipeline  # noqa: E402
 
-tr = spark.read.parquet("/tmp/kgs/transcripts")
-kb = spark.read.parquet("/tmp/kgs/entity_kb")
-args_df = spark.read.parquet("/tmp/kgs/kb_args")
-mc = spark.read.parquet("/tmp/kgs/mention_counts")
-ws = spark.read.parquet("/tmp/kgs/wiki_summaries")
+tr = spark.read.parquet(INPUT_DIR + "/transcripts")
+kb = spark.read.parquet(INPUT_DIR + "/entity_kb")
+args_df = spark.read.parquet(INPUT_DIR + "/kb_args")
+mc = spark.read.parquet(INPUT_DIR + "/mention_counts")
+ws = spark.read.parquet(INPUT_DIR + "/wiki_summaries")
 
 dims = build_dims(spark, kb, args_df, mc)
 n_turns = tr.count()
 
 t0 = time.time()
 res = run_pipeline(spark, tr, kb, args_df, mc, ws, language="en",
-                   check_invariants=False, dims=dims, cut_mode="local")
+                   check_invariants=False, dims=dims, cut_mode=cut_mode)
 n_triples = res["triples"].count()
 dt = time.time() - t0
 
 print(json.dumps({
-    "cores_max": cores_max, "executors": n_up,
+    "cores_max": cores_max, "executors": n_up, "cut_mode": cut_mode,
     "executor_cores": executor_cores, "executor_mem": executor_mem,
     "turns": n_turns, "triples": n_triples,
     "seconds": round(dt, 2), "turns_per_sec": round(n_turns / dt, 1),
