@@ -4,11 +4,16 @@ multi-executor claim instead of re-measuring the single-JVM proxy).
 
 Topology: 1 master + 4 worker JVMs on this box, each worker offering
 8 cores / 4g. Legs differ ONLY in spark.cores.max:
-  N leg  — cores.max=8  → 1 executor  × 8 cores × 3g
-  4N leg — cores.max=32 → 4 executors × 8 cores × 3g
+  N leg  — cores.max=2 → 1 executor  × 2 cores × 2g
+  4N leg — cores.max=8 → 4 executors × 2 cores × 2g
 Per-executor resources constant; the 4N leg has 4× aggregate heap and
 4 independent GC domains — exactly what a real 4N cluster has and the
-single-JVM local[8/32] proxy structurally cannot have.
+single-JVM local[8/32] proxy structurally cannot have. 2-core executors
+are the honest shape on THIS host: its memory bandwidth saturates at
+~2-3 streaming cores (see BENCH/BASELINE.md microbenchmark), so an
+8-core-executor pair (cores.max 8 vs 32) measures the memory wall, not
+the engine — run it via KGPIPE_EXEC_CORES=8 KGPIPE_EXEC_MEM=3g for the
+disclosure row.
 
 Legs are INTERLEAVED (N, 4N, N, 4N, …) and each level reports its best
 trial (sandbox host shows multi-x background-load variance). Event logs
@@ -86,11 +91,15 @@ def build_pyzip():
     return zpath
 
 
+EXEC_CORES = int(os.environ.get("KGPIPE_EXEC_CORES", "2"))
+EXEC_MEM = os.environ.get("KGPIPE_EXEC_MEM", "2g")
+
+
 def run_leg(cores_max: int, trial: int) -> dict:
     ev_dir = f"{EV_ROOT}/c{cores_max}_t{trial}"
     out = subprocess.run(
         [sys.executable, str(REPO / "scripts/standalone_worker.py"),
-         str(cores_max)],
+         str(cores_max), str(EXEC_CORES), EXEC_MEM],
         capture_output=True, text=True, check=True,
         env={**os.environ, "KGPIPE_EVENTLOG_DIR": ev_dir},
     )
@@ -101,31 +110,18 @@ def run_leg(cores_max: int, trial: int) -> dict:
 
 
 def eventlog_stats(ev_dir: str) -> dict:
-    """jobs, tasks, total task ms, executor-run ms, JVM GC ms from the
-    leg's event log (driver-side JSON scan, no Spark)."""
-    stats = {"jobs": 0, "tasks": 0, "task_ms": 0, "run_ms": 0, "gc_ms": 0}
+    """Summary of the leg's (plain-JSON) event log via
+    scripts/eventlog_summary.py."""
+    from eventlog_summary import summarize
+
     try:
-        files = [p for p in Path(ev_dir).iterdir() if p.is_file()]
+        files = [p for p in Path(ev_dir).iterdir()
+                 if p.is_file() and p.name.startswith("app-")]
     except OSError:
-        return stats
-    for f in files:
-        with open(f, errors="replace") as fh:
-            for ln in fh:
-                if '"SparkListenerJobStart"' in ln:
-                    stats["jobs"] += 1
-                elif '"SparkListenerTaskEnd"' in ln:
-                    try:
-                        ev = json.loads(ln)
-                    except ValueError:
-                        continue
-                    stats["tasks"] += 1
-                    ti = ev.get("Task Info", {})
-                    stats["task_ms"] += (ti.get("Finish Time", 0)
-                                         - ti.get("Launch Time", 0))
-                    tm = ev.get("Task Metrics") or {}
-                    stats["run_ms"] += tm.get("Executor Run Time", 0)
-                    stats["gc_ms"] += tm.get("JVM GC Time", 0)
-    return stats
+        return {}
+    if not files:
+        return {}
+    return summarize(str(files[0]))
 
 
 def main():
@@ -135,10 +131,11 @@ def main():
     build_pyzip()
     shutil.rmtree(EV_ROOT, ignore_errors=True)
     start_cluster()
-    trials = {8: [], 32: []}
+    legs = (EXEC_CORES, 4 * EXEC_CORES)
+    trials = {legs[0]: [], legs[1]: []}
     try:
         for i in range(N_TRIALS):
-            for cores in (8, 32):
+            for cores in legs:
                 r = run_leg(cores, i)
                 trials[cores].append(r)
                 print(f"trial {i} cores.max={cores} "
@@ -146,16 +143,16 @@ def main():
     finally:
         stop_cluster()
 
-    r1 = max(trials[8], key=lambda r: r["turns_per_sec"])
-    r4 = max(trials[32], key=lambda r: r["turns_per_sec"])
+    r1 = max(trials[legs[0]], key=lambda r: r["turns_per_sec"])
+    r4 = max(trials[legs[1]], key=lambda r: r["turns_per_sec"])
     eff = (r4["turns_per_sec"] / r1["turns_per_sec"]) / 4.0
     s1, s4 = eventlog_stats(r1["ev_dir"]), eventlog_stats(r4["ev_dir"])
     result = {
         "n_executors": {"N": r1["executors"], "4N": r4["executors"]},
         "turns": r1["turns"],
         "best": {"N": r1, "4N": r4},
-        "all_seconds": {"N": [t["seconds"] for t in trials[8]],
-                        "4N": [t["seconds"] for t in trials[32]]},
+        "all_seconds": {"N": [t["seconds"] for t in trials[legs[0]]],
+                        "4N": [t["seconds"] for t in trials[legs[1]]]},
         "eventlog": {"N": s1, "4N": s4},
         "efficiency_N_to_4N": round(eff, 3),
     }
