@@ -74,3 +74,75 @@ def incremental_mentions(turns: DataFrame, surfaces, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -------------------------------------------- custom stateful operator
+
+CONV_STATE_SCHEMA = (
+    "n_turns long, max_turn_idx int, n_tokens long"
+)
+CONV_PROGRESS_SCHEMA = (
+    "conv_id string, n_turns long, max_turn_idx int, n_tokens long,"
+    " complete boolean"
+)
+
+
+def conversation_progress(turns: DataFrame,
+                          idle_timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-conversation running progress across micro-batches — turns seen,
+    highest turn_idx, token volume. With `idle_timeout_ms` set, an idle
+    conversation emits a final `complete=true` row and its state is
+    dropped (the streaming analog of the reference's per-sentence
+    completion bookkeeping, run_genre.py:201-214: a conversation is
+    "done" once no new turns arrive). Measured quirk, relied on by the
+    tests: under `trigger(availableNow=True)` Spark runs a final
+    no-data batch in which pending processing-time timeouts fire — a
+    drained stream therefore finalizes every live conversation.
+    Default (None) keeps state forever: progress rows only, state
+    survives query restarts from the same checkpoint.
+
+    State is one tiny fixed-width row per LIVE conversation — the shape
+    that scales: state size is O(open conversations), not O(turns), and
+    Spark partitions it by conv_id with the state store handling
+    persistence/recovery. Arrow-batched like every other UDF in this
+    engine."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (conv_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            n_turns, max_idx, n_tokens = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [conv_id], "n_turns": [n_turns],
+                "max_turn_idx": [max_idx], "n_tokens": [n_tokens],
+                "complete": [True],
+            })
+            return
+        n_turns, max_idx, n_tokens = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+            n_tokens += int(pdf["text"].str.split().str.len().sum())
+        state.update((n_turns, max_idx, n_tokens))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({
+            "conv_id": [conv_id], "n_turns": [n_turns],
+            "max_turn_idx": [max_idx], "n_tokens": [n_tokens],
+            "complete": [False],
+        })
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_PROGRESS_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -153,3 +153,81 @@ def test_turn_rate_metrics_batch_semantics(spark):
                for r in out}
     assert by_role[("user", 0)] == (2, 3)
     assert by_role[("tool", 5)] == (1, 3)
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-conversation
+    running progress accumulates across micro-batches; state is one
+    fixed-width row per live conversation."""
+    from datetime import datetime
+
+    from kgpipe import schemas
+
+    src = str(tmp_path / "state_src")
+    rows1 = [
+        ("c1", 0, "user", "hello world", None, datetime(2026, 1, 1, 0, 0)),
+        ("c1", 1, "agent", "hi there friend", None, datetime(2026, 1, 1, 0, 1)),
+        ("c2", 0, "user", "solo", None, datetime(2026, 1, 1, 0, 2)),
+    ]
+    spark.createDataFrame(rows1, schema=schemas.TRANSCRIPTS) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming.conversation_progress(stream)
+    sink = str(tmp_path / "progress_out")
+
+    def run_to(batch_dir_prefix):
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # idempotent per-batch parquet subdirs, same as incremental_mentions
+        def process(bdf, bid):
+            if not bdf.isEmpty():
+                bdf.write.mode("overwrite").parquet(
+                    f"{sink}/{batch_dir_prefix}_batch{bid}")
+        q = (out.writeStream.foreachBatch(process)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "state_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_to("r1")
+    got = {r["conv_id"]: r for r in
+           spark.read.parquet(f"{sink}/r1_batch*").collect()}
+    assert got["c1"]["n_turns"] == 2
+    assert got["c1"]["max_turn_idx"] == 1
+    assert got["c1"]["n_tokens"] == 5        # 2 + 3
+    assert got["c2"]["n_turns"] == 1 and got["c2"]["n_tokens"] == 1
+    assert not got["c1"]["complete"]         # NoTimeout: progress only
+
+    # second batch of files, SAME checkpoint: state must carry over
+    # (c1 grows across restarts, c3 appears fresh)
+    rows2 = [
+        ("c1", 2, "user", "one more turn here", None,
+         datetime(2026, 1, 1, 0, 5)),
+        ("c3", 0, "tool", "new conv", "t1", datetime(2026, 1, 1, 0, 6)),
+    ]
+    spark.createDataFrame(rows2, schema=schemas.TRANSCRIPTS) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_to("r2")
+    got2 = {r["conv_id"]: r for r in
+            spark.read.parquet(f"{sink}/r2_batch*").collect()}
+    assert got2["c1"]["n_turns"] == 3 and got2["c1"]["max_turn_idx"] == 2
+    assert got2["c1"]["n_tokens"] == 9       # 5 carried + 4 new
+    assert got2["c3"]["n_turns"] == 1
+
+    # timeout variant: drained availableNow stream finalizes every live
+    # conversation (pending processing-time timeouts fire in the final
+    # no-data batch) — complete=true rows carry the full totals
+    out_t = streaming.conversation_progress(stream, idle_timeout_ms=30_000)
+    q3 = (out_t.writeStream.format("memory").queryName("conv_final")
+          .outputMode("update")
+          .option("checkpointLocation", str(tmp_path / "state_ck_t"))
+          .trigger(availableNow=True).start())
+    q3.awaitTermination(120)
+    final = {r["conv_id"]: r for r in
+             spark.sql("select * from conv_final").collect()
+             if r["complete"]}
+    assert final["c1"]["n_turns"] == 3 and final["c1"]["n_tokens"] == 9
+    assert final["c2"]["n_turns"] == 1 and final["c3"]["n_turns"] == 1
