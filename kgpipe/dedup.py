@@ -207,6 +207,31 @@ def minhash_lsh_pairs(df: DataFrame, token_ids: DataFrame) -> DataFrame:
     return pairs.distinct()
 
 
+def dedup_clusters(df: DataFrame, token_ids: DataFrame) -> DataFrame:
+    """Cluster-based near-dup deduplication — the composition a 100 TB
+    dedup pipeline actually runs: MinHash-LSH candidate pairs (linear
+    equi-joins) → connected components over the pair graph (near-dup is
+    not transitive, but dedup policy treats chains as one cluster, cf.
+    the MinHashLSH dedup in web-scale corpus pipelines) → keep the
+    minimum doc_id as each cluster's representative.
+
+    Returns (doc_id, keep_id) for every CLUSTERED doc; isolated docs
+    (no candidate pair) implicitly keep themselves and are omitted,
+    so the frame is also the drop-list: rows where doc_id != keep_id."""
+    from kgpipe.canonical import connected_components
+
+    pairs = minhash_lsh_pairs(df, token_ids)
+    cc = connected_components(
+        pairs.select(F.col("a").cast("string").alias("src"),
+                     F.col("b").cast("string").alias("dst")),
+        key=lambda c: c.cast("long"),
+    )
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("keep_id"),
+    )
+
+
 def simhash(df: DataFrame, token_ids: DataFrame,
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over token multiset: bit_k = sign of

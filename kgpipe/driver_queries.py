@@ -1852,6 +1852,41 @@ FROM (
 """
 
 
+# ---------------------------------------------- q44 dedup clusters
+
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster-based near-dup dedup (the full 100 TB composition):
+    MinHash-LSH candidate pairs → connected components over the pair
+    graph → min-doc_id representative per cluster, on the doc_id%20
+    subset (same pair graph q13 verifies)."""
+    from kgpipe.dedup import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return dedup_clusters(docs, _token_ids(spark, sf_dir))
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sig AS ({_minhash_sql('doc_id % 20 = 0').strip()}),
+bands AS (
+  SELECT doc_id, band_0 AS bk FROM sig UNION ALL
+  SELECT doc_id, band_1 FROM sig UNION ALL
+  SELECT doc_id, band_2 FROM sig UNION ALL
+  SELECT doc_id, band_3 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.bk = r.bk AND l.doc_id < r.doc_id
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(src, node) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+)
+SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src
+"""
+
+
 QUERIES["q32_tag_rewrite"] = (q_tag_rewrite, Q_TAG_REWRITE_SQL)
 QUERIES["q33_truncate_context"] = (q_truncate_context, Q_TRUNCATE_CONTEXT_SQL)
 QUERIES["q34_resolution_cascade"] = (q_resolution_cascade,
@@ -1865,6 +1900,7 @@ QUERIES["q40_anchors_solved"] = (q_anchors_solved, Q_ANCHORS_SOLVED_SQL)
 QUERIES["q41_subword_align"] = (q_subword_align, Q_SUBWORD_ALIGN_SQL)
 QUERIES["q42_lsh_multitable"] = (q_lsh_multitable_verify, Q_LSH_MULTITABLE_SQL)
 QUERIES["q43_context_window"] = (q_context_window, Q_CONTEXT_WINDOW_SQL)
+QUERIES["q44_dedup_clusters"] = (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL)
 
 # rows-only queries (no SQL oracle; currently none — every driver query
 # is DuckDB-verified)

@@ -272,3 +272,21 @@ def test_decode_backend_flag(spark):
         expect = multimodal._decode_image_stub(bytes(payload), 8)
         assert all(abs(a - b) < 1e-6          # float32 column vs py floats
                    for a, b in zip(row["feature"], expect))
+
+
+def test_dedup_clusters_representatives(spark):
+    """LSH pairs → connected components → min-doc_id representative:
+    chained near-dups collapse into one cluster."""
+    from kgpipe.dedup import dedup_clusters
+
+    rows = [
+        (10, "a b c d e"),
+        (11, "a b c d e"),          # dup of 10
+        (12, "a b c d e"),          # dup of 10 → one cluster {10,11,12}
+        (13, "z y x w v u t"),      # isolated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = build_token_ids(docs).select("token", "token_id")
+    out = {r["doc_id"]: r["keep_id"]
+           for r in dedup_clusters(docs, ids).collect()}
+    assert out == {10: 10, 11: 10, 12: 10}   # 13 isolated → omitted
