@@ -6,11 +6,14 @@ token-id dictionary (build_token_ids) — no engine-specific hash builtins
 — so every operator is reproducible bit-for-bit in any SQL engine (the
 DuckDB oracle runs the same formulas).
 
-Scale notes: exact dedup is one groupBy on a 64-bit digest; MinHash
-signatures are one explode+groupBy per doc (map-side combinable);
-LSH banding turns the quadratic pair search into an equi-join on band
-keys. Shingle-Jaccard prunes candidate pairs through rare shingles
-(document frequency cap) before the exact pair join.
+Scale notes: exact dedup is two-pass — a groupBy on a 64-bit digest
+(16 bytes/row shuffled) then raw-text verification of only the
+digest-repeating rows; MinHash signatures are one explode+groupBy per
+doc (map-side combinable); LSH banding turns the quadratic pair search
+into an equi-join on band keys; dedup_clusters closes the loop with
+connected components over the pair graph. Shingle-Jaccard prunes
+candidate pairs through rare shingles (document frequency cap,
+optionally corpus-relative) before the exact pair join.
 """
 
 from __future__ import annotations
