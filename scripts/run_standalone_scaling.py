@@ -157,7 +157,9 @@ def main():
         "efficiency_N_to_4N": round(eff, 3),
     }
     print(json.dumps(result, indent=2))
-    with open(REPO / "BENCH" / "STANDALONE.json", "w") as f:
+    # BENCH/STANDALONE.json holds the curated multi-trial record;
+    # each automated run writes its own file
+    with open(REPO / "BENCH" / "STANDALONE_RUN.json", "w") as f:
         json.dump(result, f, indent=2)
 
 
