@@ -39,6 +39,30 @@ from kgpipe.kb import qid_num
 last_cc_backend: str | None = None
 
 
+def _graphframes_unusable(spark) -> str | None:
+    """None when the GraphFrames path can actually run; else the reason
+    it cannot. A Python `import graphframes` alone is NOT sufficient —
+    a pip-installed package without the JVM jar on the classpath, or a
+    SparkContext without a checkpoint dir (required by GraphFrames
+    connectedComponents), fails with a Py4J error at the first action,
+    which would break backend='auto''s documented fallback."""
+    try:
+        import graphframes  # noqa: F401
+    except ImportError:
+        return "python package not importable"
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.graphframes.GraphFrame")
+    except Exception:  # pragma: no cover - needs pip pkg without jar
+        return "org.graphframes.GraphFrame not on the JVM classpath"
+    try:  # pragma: no cover - requires graphframes jar
+        if spark.sparkContext.getCheckpointDir() is None:
+            return "sparkContext checkpoint dir unset (required by CC)"
+    except Exception:  # pragma: no cover
+        return "sparkContext checkpoint dir unset (required by CC)"
+    return None  # pragma: no cover - requires graphframes jar
+
+
 def _graphframes_cc(sym: DataFrame, keyf, max_iter: int) -> DataFrame:
     """GraphFrames drop-in (used when the graphframes package + jar are
     present — not in this sandbox): run its scalable CC, then remap each
@@ -68,22 +92,23 @@ def connected_components(
     backend: str = "auto",
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component); component is the
-    member node minimizing `key(node)` (default: lexicographic node).
+    member node minimizing `key(node)` (default: min in the node's own
+    type ordering). Nodes keep their INPUT type end-to-end — long doc_ids
+    shuffle as 8-byte longs, never as decimal strings (the CC shuffle key
+    is the dominant byte stream at billion-edge scale).
     Isolated nodes don't appear in edges and map to themselves — union
     them in downstream (canonicalize_qids leaves unmapped ids as-is).
 
-    backend: "auto" uses GraphFrames when importable (closing the
-    module-docstring promise) and falls back to the hash-to-min loop;
-    "loop" / "graphframes" force one path. kgpipe.canonical
-    .last_cc_backend records which path ran.
+    backend: "auto" uses GraphFrames when the package AND jar are usable
+    (checked up front; any runtime failure still falls back to the loop
+    so a broken install can't take down default callers), "loop" /
+    "graphframes" force one path ("graphframes" raises on an unusable
+    install). kgpipe.canonical.last_cc_backend records which path ran.
     """
     global last_cc_backend
     keyf = key or (lambda c: c)
 
-    e = edges.select(
-        F.col(src_col).cast("string").alias("a"),
-        F.col(dst_col).cast("string").alias("b"),
-    )
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
@@ -91,14 +116,19 @@ def connected_components(
     )
 
     if backend in ("auto", "graphframes"):
-        try:
-            import graphframes  # noqa: F401
-
-            last_cc_backend = "graphframes"
-            return _graphframes_cc(sym, keyf, max_iter)  # pragma: no cover
-        except ImportError:
-            if backend == "graphframes":
-                raise
+        reason = _graphframes_unusable(edges.sparkSession)
+        if reason is None:  # pragma: no cover - requires graphframes jar
+            try:
+                last_cc_backend = "graphframes"
+                return _graphframes_cc(sym, keyf, max_iter)
+            except Exception:
+                if backend == "graphframes":
+                    raise
+                # auto: a runtime Py4J/analysis failure degrades to the
+                # loop instead of failing every default CC caller
+                last_cc_backend = "loop"
+        elif backend == "graphframes":
+            raise ImportError(f"graphframes backend unusable: {reason}")
     last_cc_backend = "loop"
 
     def lab_struct(node_col):

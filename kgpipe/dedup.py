@@ -103,7 +103,8 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                   max_df: int | None = 3,
-                  max_df_frac: float | None = None) -> DataFrame:
+                  max_df_frac: float | None = None,
+                  eager: bool = True) -> DataFrame:
     """Near-dup pairs by exact shingle Jaccard, with candidate pruning
     through rare shingles (document frequency ≤ max_df) — the join-side
     guard that keeps the pair space linear under a tiny vocabulary.
@@ -119,7 +120,16 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     pairs through the equi-join (cost grows ~quadratically inside a
     shingle bucket), but every admitted pair is still exactly verified;
     frac ≈ a few percent keeps buckets bounded while tracking corpus
-    growth. max_df_frac overrides max_df when both are given."""
+    growth. max_df_frac overrides max_df when both are given; BOTH None
+    means explicitly uncapped (every shingle joins — the caller opted
+    out of pruning; never a silent NULL predicate that would empty the
+    candidate set).
+
+    eager=True (default) materializes the pair set and unpersists the
+    shingle cache before returning, so no intermediate stays pinned in
+    executor memory (the returned frame itself is cached; the caller
+    owns its unpersist). eager=False returns the lazy plan and the
+    caller owns the shingle cache lifecycle."""
     if max_df_frac is not None:
         import math
 
@@ -128,11 +138,14 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     sh = shingles(df, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
-    rare = sh.join(
-        sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df),
-        "shingle",
-    )
+    if max_df is None:
+        rare = sh  # explicitly uncapped
+    else:
+        rare = sh.join(
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df),
+            "shingle",
+        )
     cand = (
         rare.alias("l")
         .join(rare.alias("r"), "shingle")
@@ -166,6 +179,10 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if eager:
+        out = out.cache()
+        out.count()
+        sh.unpersist()
     return out
 
 
@@ -194,9 +211,17 @@ def minhash_signatures(df: DataFrame, token_ids: DataFrame) -> DataFrame:
     return sig
 
 
-def minhash_lsh_pairs(df: DataFrame, token_ids: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(df: DataFrame, token_ids: DataFrame,
+                      eager: bool = True) -> DataFrame:
     """LSH candidate pairs: docs sharing any band key. The quadratic
-    all-pairs search becomes 4 equi-joins on band buckets."""
+    all-pairs search becomes 4 equi-joins on band buckets.
+
+    eager=True (default) materializes the pair set and unpersists the
+    signature cache before returning (cache hygiene for long-lived
+    sessions: the O(corpus) signatures don't stay pinned; the small
+    returned pair frame is cached and the caller owns its unpersist).
+    eager=False returns the lazy plan; the caller owns the signature
+    cache lifecycle."""
     sig = minhash_signatures(df, token_ids).cache()
     pairs = None
     for band in range(4):
@@ -207,7 +232,12 @@ def minhash_lsh_pairs(df: DataFrame, token_ids: DataFrame) -> DataFrame:
             .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    out = pairs.distinct()
+    if eager:
+        out = out.cache()
+        out.count()
+        sig.unpersist()
+    return out
 
 
 def dedup_clusters(df: DataFrame, token_ids: DataFrame) -> DataFrame:
@@ -220,18 +250,19 @@ def dedup_clusters(df: DataFrame, token_ids: DataFrame) -> DataFrame:
 
     Returns (doc_id, keep_id) for every CLUSTERED doc; isolated docs
     (no candidate pair) implicitly keep themselves and are omitted,
-    so the frame is also the drop-list: rows where doc_id != keep_id."""
+    so the frame is also the drop-list: rows where doc_id != keep_id.
+
+    doc_ids stay typed (long) through connected_components — the CC
+    shuffle keys are 8-byte longs, never decimal strings (at 10⁹ docs
+    the string form would roughly double the dominant shuffle stream)."""
     from kgpipe.canonical import connected_components
 
     pairs = minhash_lsh_pairs(df, token_ids)
     cc = connected_components(
-        pairs.select(F.col("a").cast("string").alias("src"),
-                     F.col("b").cast("string").alias("dst")),
-        key=lambda c: c.cast("long"),
-    )
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     return cc.select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("keep_id"),
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keep_id"),
     )
 
 

@@ -41,15 +41,61 @@ def set_table_format(fmt: str | None) -> None:
     _FORMAT = fmt
 
 
-def _write_marker(path: str, fmt: str) -> None:
+# set when the most recent _write_marker could not write (observability:
+# a markerless table degrades read_table to configured-format guessing)
+last_marker_skip: str | None = None
+
+
+def _hadoop_path_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _MARKER)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_marker(path: str, fmt: str,
+                  spark: SparkSession | None = None) -> None:
+    """Write the per-table format marker through the Hadoop FileSystem
+    API — the SAME path resolution (scheme, defaultFS) the DataFrame
+    writer used, so s3a://, hdfs:// and local paths all get markers
+    (a plain open() silently skips every non-local scheme). Best-effort:
+    a failure is recorded in `last_marker_skip`, never raised."""
+    global last_marker_skip
+    spark = spark or SparkSession.getActiveSession()
     try:
-        with open(os.path.join(path, _MARKER), "w", encoding="utf8") as f:
-            f.write(fmt)
-    except OSError:  # non-local filesystem path — marker is best-effort
-        pass
+        if spark is not None:
+            p, fs = _hadoop_path_fs(spark, path)
+            out = fs.create(p, True)
+            try:
+                out.write(bytearray(fmt.encode("utf8")))
+            finally:
+                out.close()
+        else:  # no session (unit contexts): local write
+            with open(os.path.join(path, _MARKER), "w", encoding="utf8") as f:
+                f.write(fmt)
+        last_marker_skip = None
+    except Exception as e:
+        last_marker_skip = f"{path}: {type(e).__name__}: {e}"
 
 
-def _read_marker(path: str) -> str | None:
+def _read_marker(path: str, spark: SparkSession | None = None) -> str | None:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            p, fs = _hadoop_path_fs(spark, path)
+            if not fs.exists(p):
+                return None
+            stream = fs.open(p)
+            try:
+                data = bytearray()
+                b = stream.read()
+                while b != -1 and len(data) < 64:
+                    data.append(b)
+                    b = stream.read()
+            finally:
+                stream.close()
+            return bytes(data).decode("utf8").strip() or None
+        except Exception:
+            return None
     try:
         with open(os.path.join(path, _MARKER), "r", encoding="utf8") as f:
             return f.read().strip() or None
@@ -81,7 +127,7 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite",
             last_fallback = f"{fmt}: {type(e).__name__}"
             used = "parquet"
             writer.parquet(path)
-    _write_marker(path, used)
+    _write_marker(path, used, spark=df.sparkSession)
     return used
 
 
@@ -91,7 +137,7 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     write actually used, so read errors are surfaced, not masked. Only
     marker-less (legacy / externally-written) dirs get the configured-
     format try with a parquet fallback."""
-    marked = _read_marker(path)
+    marked = _read_marker(path, spark=spark)
     if marked is not None:
         if marked == "parquet":
             return spark.read.parquet(path)

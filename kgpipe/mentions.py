@@ -35,6 +35,11 @@ SPAN_SCHEMA = ArrayType(StructType([
 ]))
 
 
+# gazetteer dims below this many DISTINCT surfaces get the broadcast
+# hint in detect_mentions_join; larger sets are left to AQE
+BROADCAST_MAX_SURFACES = 2_000_000
+
+
 def with_turn_order(transcripts: DataFrame) -> DataFrame:
     """W1 stable turn ordering + ingest dedup (FIXTURES.md edge case 10).
 
@@ -219,7 +224,7 @@ def detect_mentions(turns: DataFrame, surfaces: List[str] | None = None,
 def detect_mentions_join(turns: DataFrame, surfaces_df: DataFrame,
                          surface_col: str = "surface",
                          broadcast_dim: bool | None = None,
-                         broadcast_max_surfaces: int = 2_000_000) -> DataFrame:
+                         broadcast_max_surfaces: int | None = None) -> DataFrame:
     """Fully-distributed gazetteer tagging: same output as
     detect_mentions(surfaces=...), but the surface universe stays a
     DataFrame end-to-end — no driver-side collect, no dict broadcast.
@@ -236,14 +241,22 @@ def detect_mentions_join(turns: DataFrame, surfaces_df: DataFrame,
     Broadcast policy: gazetteer-sized dims join fastest broadcast, but a
     KB-sized surface set (10⁷–10⁸ rows) must NOT be force-broadcast — it
     would OOM driver and executors. `broadcast_dim=None` (default)
-    probes the surface count with a short-circuiting limit scan and
-    hints broadcast only below `broadcast_max_surfaces`; above it the
-    join is left to AQE/autoBroadcastJoinThreshold (shuffle hash join on
-    `_first_tok` at KB scale). Pass True/False to skip the probe.
+    probes the DISTINCT surface count (what is actually broadcast — a
+    duplicated-but-small gazetteer must not lose the hint) with a
+    short-circuiting limit scan and hints broadcast only below
+    `broadcast_max_surfaces`; above it the join is left to
+    AQE/autoBroadcastJoinThreshold (shuffle hash join on `_first_tok`
+    at KB scale). The probe costs one Spark job per call — repeated
+    callers should decide once and pass True/False (build_dims derives
+    the decision for free via an Observation on the dim materialization
+    and run_pipeline threads it through).
     """
+    if broadcast_max_surfaces is None:
+        broadcast_max_surfaces = BROADCAST_MAX_SURFACES
     if broadcast_dim is None:
         broadcast_dim = (
-            surfaces_df.limit(broadcast_max_surfaces + 1).count()
+            surfaces_df.select(surface_col).distinct()
+            .limit(broadcast_max_surfaces + 1).count()
             <= broadcast_max_surfaces
         )
     dim = (

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed by Arrow-batched mapInPandas.
 
-The decode/feature-extraction kernels are STUBBED (no image/audio libs
-in this container — clearly marked below); everything Spark-side —
-schema, batch shape, partitioning, UDF signatures — is real and tested.
-Swap `_decode_image_stub` for a PIL/torchvision kernel on a real
-cluster without touching the plan.
+Decode kernels, in preference order: PIL when installed (not in this
+container), a REAL dependency-free binary PPM/PGM decoder
+(_decode_image_ppm — exercised by the tests here, so a real decode
+path is verified in-container), and a deterministic stub for every
+other format (clearly marked below). Everything Spark-side — schema,
+batch shape, partitioning, UDF signatures — is real and tested; a
+PIL/torchvision kernel swaps in on a real cluster without touching
+the plan.
 """
 
 from __future__ import annotations
@@ -52,10 +55,13 @@ except ImportError:
 
 def decode_backend() -> str:
     """Which decode kernel extract_features will use: "pil" when PIL
-    imported, else "stub". Recorded so the stub claim is testable — the
-    sandbox asserts "stub"; an environment with Pillow flips to the real
-    decode without any plan change."""
-    return "pil" if _HAS_PIL else "stub"
+    imported; otherwise "ppm+stub" — binary PPM/PGM payloads get a REAL
+    dependency-free decode (_decode_image_ppm) and everything else the
+    deterministic stub. Recorded so the claim is testable: the sandbox
+    (no Pillow) asserts "ppm+stub" and decodes a generated PGM to known
+    luminance values; an environment with Pillow flips to the PIL
+    kernel without any plan change."""
+    return "pil" if _HAS_PIL else "ppm+stub"
 
 
 def _decode_image_stub(payload: bytes, dim: int = 8) -> list:
@@ -69,21 +75,95 @@ def _decode_image_stub(payload: bytes, dim: int = 8) -> list:
 
 def _decode_image_pil(payload: bytes, dim: int = 8) -> list:  # pragma: no cover
     """Real decode (runs only where Pillow is installed): decode →
-    grayscale → dim×1 thumbnail → luminance in [-1, 1). Payloads that
-    aren't valid images fall back to the stub row-wise, so mixed/corrupt
-    media can't fail the batch."""
+    grayscale → dim×1 thumbnail → luminance in [-1, 1) via px/128 − 1
+    (px ≤ 255 → max 0.9921875: honors the same half-open range as the
+    stub and the PPM kernel). Payloads that aren't valid images fall
+    back to the stub row-wise, so mixed/corrupt media can't fail the
+    batch."""
     import io as _io
 
     try:
         img = _PILImage.open(_io.BytesIO(payload)).convert("L").resize((dim, 1))
-        return [px / 127.5 - 1.0 for px in img.getdata()]
+        return [px / 128.0 - 1.0 for px in img.getdata()]
     except Exception:
         return _decode_image_stub(payload, dim)
+
+
+def _ppm_tokens(payload: bytes):
+    """ASCII header tokens of a binary PPM/PGM: whitespace-separated,
+    '#' comments run to end-of-line. Yields (token, next_offset)."""
+    i = 0
+    n = len(payload)
+    while i < n:
+        c = payload[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and payload[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            yield payload[i:j], j
+            i = j
+
+
+def _decode_image_ppm(payload: bytes, dim: int = 8) -> list:
+    """REAL dependency-free decode for binary PGM (P5, grayscale) and
+    PPM (P6, RGB) with maxval ≤ 255 — exercisable in this container
+    (no Pillow needed), so the real-decode path is tested here, not
+    first on a user's cluster. RGB → luminance by the ITU-R 601-2
+    integer formula PIL's convert("L") uses ((299R+587G+114B)//1000);
+    the image is reduced to `dim` features by box-averaging equal-width
+    column bands (deterministic), each mapped to [-1, 1) via mean/128−1.
+    Raises on malformed payloads — _decode_image catches and falls back
+    to the stub row-wise."""
+    toks = _ppm_tokens(payload)
+    magic, _ = next(toks)
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM: {magic!r}")
+    (w_tok, _), (h_tok, _), (mx_tok, off) = next(toks), next(toks), next(toks)
+    w, h, maxval = int(w_tok), int(h_tok), int(mx_tok)
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM geometry {w}x{h} max {maxval}")
+    ch = 1 if magic == b"P5" else 3
+    raster = payload[off + 1: off + 1 + w * h * ch]  # single ws after maxval
+    if len(raster) < w * h * ch:
+        raise ValueError("truncated PPM raster")
+    # per-pixel luminance, row-major
+    if ch == 1:
+        lum = list(raster)
+    else:
+        lum = [
+            (299 * raster[3 * k] + 587 * raster[3 * k + 1]
+             + 114 * raster[3 * k + 2]) // 1000
+            for k in range(w * h)
+        ]
+    feats = []
+    for b in range(dim):
+        lo = (b * w) // dim
+        hi = max(((b + 1) * w) // dim, lo + 1)
+        if lo >= w:
+            lo, hi = w - 1, w
+        s = cnt = 0
+        for y in range(h):
+            row = y * w
+            for x in range(lo, hi):
+                s += lum[row + x]
+                cnt += 1
+        feats.append((s / cnt) / 128.0 - 1.0)
+    return feats
 
 
 def _decode_image(payload: bytes, dim: int = 8) -> list:
     if _HAS_PIL:  # pragma: no cover - container has no Pillow
         return _decode_image_pil(payload, dim)
+    if payload[:2] in (b"P5", b"P6"):
+        try:
+            return _decode_image_ppm(payload, dim)
+        except Exception:
+            return _decode_image_stub(payload, dim)
     return _decode_image_stub(payload, dim)
 
 

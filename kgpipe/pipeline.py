@@ -60,7 +60,10 @@ def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
     materialize=True localCheckpoints each dim: without it every
     consuming job re-derives AND re-broadcasts the dim from entity_kb
     (measured: a visible slice of the per-job fixed cost across the
-    ~40-job pipeline)."""
+    ~40-job pipeline). The surfaces dim rides an Observation on its
+    materialization job to derive `surfaces_broadcastable` (the
+    detect_mentions_join broadcast decision) for FREE — zero extra
+    jobs, vs one probe job per tagger call otherwise."""
     dims = {
         "title_map": build_title_map(entity_kb),
         "alias_map": (am := build_alias_map(entity_kb)),
@@ -68,7 +71,16 @@ def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
         "surfaces_df": surfaces_df_from_dims(am, mention_counts),
     }
     if materialize:
+        from pyspark.sql import Observation
+
+        from kgpipe.mentions import BROADCAST_MAX_SURFACES
+
+        obs = Observation()
+        dims["surfaces_df"] = dims["surfaces_df"].observe(
+            obs, F.count(F.lit(1)).alias("n"))
         dims = {k: v.localCheckpoint(eager=True) for k, v in dims.items()}
+        dims["surfaces_broadcastable"] = (
+            (obs.get["n"] or 0) <= BROADCAST_MAX_SURFACES)
     return dims
 
 
@@ -120,8 +132,11 @@ def run_pipeline(
         assert_text_equality(turns)
 
     def stage_mentions(t: DataFrame) -> DataFrame:
-        # broadcast-JOIN tagger: the surface dim never hits the driver
-        return detect_mentions_join(t, surfaces_df)
+        # broadcast-JOIN tagger: the surface dim never hits the driver;
+        # the broadcast decision comes from build_dims' Observation when
+        # available (None → the tagger probes with one extra job)
+        return detect_mentions_join(
+            t, surfaces_df, broadcast_dim=dims.get("surfaces_broadcastable"))
 
     def stage_link(m: DataFrame) -> DataFrame:
         # row-based operators (broadcast joins + windows): with stage

@@ -125,6 +125,19 @@ def test_pipeline_canonicalization_applied(spark, fixture_set):
     assert links - {"Q1", "Q0"} <= set(linked_qids)
 
 
+def test_connected_components_typed_long_keys(spark):
+    """Nodes keep their INPUT type end-to-end: long edges → long
+    (node, component) — the CC shuffle carries 8-byte longs, never
+    decimal strings (the dedup→CC path's dominant byte stream)."""
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (100, 99)], "src long, dst long")
+    out = connected_components(edges)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == \
+        ["bigint", "bigint"]
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 99: 99, 100: 99}
+
+
 def test_cc_backend_fallback_flag(spark):
     """GraphFrames is the documented drop-in when available; this
     container lacks it, so the hash-to-min loop must run and record

@@ -154,6 +154,37 @@ def test_io_marker_dispatch_per_table(spark, tmp_path):
         io.last_fallback = None
 
 
+def test_io_marker_hadoop_fs(spark, tmp_path):
+    """Markers go through the Hadoop FileSystem API (same path
+    resolution as the DataFrame writer — s3a://, hdfs:// included);
+    an unwritable scheme is RECORDED in last_marker_skip instead of
+    silently degrading read_table to format guessing (ADVICE r3)."""
+    from kgpipe import io
+
+    d = str(tmp_path / "marked")
+    (tmp_path / "marked").mkdir()
+    io._write_marker(d, "iceberg", spark=spark)
+    assert io.last_marker_skip is None
+    assert io._read_marker(d, spark=spark) == "iceberg"
+    assert (tmp_path / "marked" / "_kgpipe_format").read_text() == "iceberg"
+
+    io._write_marker("bogus-scheme://bucket/x", "parquet", spark=spark)
+    assert io.last_marker_skip is not None
+    io.last_marker_skip = None
+
+
+def test_build_dims_broadcast_decision(spark, fixture_set):
+    """build_dims derives the tagger broadcast decision from an
+    Observation riding the surfaces-dim materialization job (zero
+    extra jobs); fixture-scale gazetteers are broadcastable."""
+    from kgpipe.pipeline import build_dims
+
+    dims = build_dims(spark, fixture_set["entity_kb"],
+                      fixture_set["kb_args"],
+                      fixture_set["mention_counts"])
+    assert dims["surfaces_broadcastable"] is True
+
+
 def test_checkpoint_gc_retains_parent(spark, tmp_path):
     """commit_stage keeps the immediately-superseded version so a live
     DataFrame from an earlier load_stage survives one new commit

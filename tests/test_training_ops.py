@@ -252,8 +252,9 @@ def test_lsh_multitable_recall_beats_single_table(spark):
 
 def test_decode_backend_flag(spark):
     """The multimodal decode kernel is an optional import: this
-    container has no Pillow, so the recorded backend must be 'stub'
-    (an environment with PIL flips it without plan changes)."""
+    container has no Pillow, so the recorded backend must be 'ppm+stub'
+    (real dependency-free PPM/PGM decode, stub for other formats; an
+    environment with PIL flips to 'pil' without plan changes)."""
     from kgpipe import multimodal
 
     try:
@@ -262,7 +263,7 @@ def test_decode_backend_flag(spark):
         has_pil = True
     except ImportError:
         has_pil = False
-    assert multimodal.decode_backend() == ("pil" if has_pil else "stub")
+    assert multimodal.decode_backend() == ("pil" if has_pil else "ppm+stub")
     if not has_pil:
         # stub path: features are the documented digest-fold fake
         media = synthetic_media(spark, n=3)
@@ -272,6 +273,83 @@ def test_decode_backend_flag(spark):
         expect = multimodal._decode_image_stub(bytes(payload), 8)
         assert all(abs(a - b) < 1e-6          # float32 column vs py floats
                    for a, b in zip(row["feature"], expect))
+
+
+def test_ppm_decode_known_luminance(spark):
+    """The dependency-free PGM/PPM kernel is a REAL decode, verified
+    against hand-computed luminance — the in-container stand-in for the
+    PIL path (same [-1, 1) contract: px/128 − 1)."""
+    from kgpipe import multimodal
+
+    # P5 grayscale 8x2, column x has luminance 16*x in both rows
+    row = bytes(16 * x for x in range(8))
+    pgm = b"P5\n# comment\n8 2\n255\n" + row + row
+    feats = multimodal._decode_image_ppm(pgm, dim=8)
+    assert feats == [16 * x / 128.0 - 1.0 for x in range(8)]
+    assert all(-1.0 <= f < 1.0 for f in feats)
+
+    # P6 RGB with R=G=B=v → ITU-R 601-2 luminance == v exactly
+    rgb = b"".join(bytes([16 * x] * 3) for x in range(8))
+    ppm = b"P6 8 1 255\n" + rgb
+    assert multimodal._decode_image_ppm(ppm, dim=8) == feats
+
+    # dim < width: equal-width band box-average (bands of 2 columns)
+    assert multimodal._decode_image_ppm(pgm, dim=4) == [
+        (16 * (2 * b) + 16 * (2 * b + 1)) / 2 / 128.0 - 1.0
+        for b in range(4)
+    ]
+
+    # corrupt/truncated P5 payloads fall back to the stub row-wise
+    bad = b"P5 8 2 255\n" + row  # half the raster missing
+    assert multimodal._decode_image(bad, 8) == \
+        multimodal._decode_image_stub(bad, 8)
+
+    # end-to-end through the Arrow-batched plan: a PGM media row gets
+    # the real decode, a non-PPM row the stub, in the same batch
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(pgm), None, None, None, None),
+         (1, "image", bytearray(b"not-an-image"), None, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: list(r["feature"])
+           for r in extract_features(media, dim=8).collect()}
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out[0], feats))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(
+        out[1], multimodal._decode_image_stub(b"not-an-image", 8)))
+
+
+def test_jaccard_max_df_none_uncapped(spark):
+    """max_df=None with no frac means explicitly UNCAPPED — every
+    shingle joins — not a silent NULL predicate that empties the
+    candidate set (the recall cliff the docstring warns about)."""
+    rows = [(i, "a b c d e") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_pairs(docs, n=3, threshold=0.5,
+                        max_df=None, max_df_frac=None)
+    assert out.count() == 15  # all C(6,2) identical pairs
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_dedup_cache_hygiene(spark):
+    """Eager dedup ops must not leave their O(corpus) intermediates
+    (shingles / signatures) pinned: after a call only the RETURNED
+    frame is cached, and unpersisting it restores the baseline."""
+    docs = _docs(spark)
+    ids = build_token_ids(docs).select("token", "token_id")
+
+    n0 = _n_cached(spark)
+    pairs = minhash_lsh_pairs(docs, ids)
+    assert _n_cached(spark) == n0 + 1  # result only; signatures freed
+    pairs.unpersist(blocking=True)
+    assert _n_cached(spark) == n0
+
+    n0 = _n_cached(spark)
+    jp = jaccard_pairs(docs, n=3, threshold=0.1, max_df=10)
+    assert _n_cached(spark) == n0 + 1  # result only; shingles freed
+    jp.unpersist(blocking=True)
+    assert _n_cached(spark) == n0
 
 
 def test_dedup_clusters_representatives(spark):
