@@ -80,32 +80,36 @@ def cosine_topk(
     )
 
 
-def _plane_proj(vec_col: str, p_global: int):
-    """Projection of the vector onto deterministic hyperplane p_global:
-    Σ_d v_d · sin(1 + (p_global+1)(d+1)). Ordered left-to-right fold →
-    bit-reproducible in any engine with libm sin()."""
-    return F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.expr(
-                f"transform(sequence(1, size({vec_col})),"
-                f" d -> sin(cast(1 + {p_global + 1} * (d + 1) as double)))"
-            ),
-            lambda x, w: x.cast("double") * w,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _bucket_arr_expr(vec_col: str, n_tables: int, planes_per_table: int,
+                     p0: int = 0) -> "F.Column":
+    """Array of `n_tables` bucket keys from ONE pass over the vector.
+
+    A single aggregate keeps all n_tables·planes_per_table running
+    projections: per vector element, a transform adds x_d·w_{p,d} to
+    every plane's partial sum (w_{p,d} = sin(1 + (p0+p+1)(d+1)), the
+    deterministic hyperplane family — reproducible in any engine with
+    libm sin()). The per-plane fold order is exactly the r3 per-plane
+    aggregate's left-to-right order, so projections — and therefore
+    sign bits and bucket keys — are bit-for-bit identical to the old
+    one-aggregate-per-plane form, which re-built the weight array and
+    re-folded the whole vector once per plane (K× the per-row work;
+    q28/q42 hashes unchanged by this rewrite, verified). The finish
+    lambda folds sign bits into per-table integer keys inside the same
+    expression, so the projection array is evaluated exactly once (no
+    Catalyst re-inlining of the aggregate per consumer)."""
+    k = n_tables * planes_per_table
+    return F.expr(
+        f"aggregate("
+        f"zip_with({vec_col}, sequence(1, size({vec_col})),"
+        f" (x, d) -> struct(cast(x as double) as x, d as d)),"
+        f"array_repeat(cast(0.0 as double), {k}),"
+        f"(acc, e) -> transform(acc, (a, p) ->"
+        f" a + e.x * sin(cast(1 + ({p0} + p + 1) * (e.d + 1) as double))),"
+        f"acc -> transform(sequence(0, {n_tables - 1}), t ->"
+        f" cast(aggregate(sequence(0, {planes_per_table - 1}), 0, (s, j) ->"
+        f"  s + if(element_at(acc, t * {planes_per_table} + j + 1) > 0D,"
+        f"   shiftleft(1, j), 0)) as int)))"
     )
-
-
-def _bucket_expr(vec_col: str, plane_ids) -> "F.Column":
-    """Bucket key from sign bits of the given global plane indices."""
-    bucket = None
-    for k, p in enumerate(plane_ids):
-        bit = F.when(_plane_proj(vec_col, p) > 0, F.lit(1)).otherwise(F.lit(0))
-        term = bit * F.lit(2 ** k)
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("int")
 
 
 def lsh_bucket(embeddings: DataFrame, vec_col: str = "embedding",
@@ -114,7 +118,8 @@ def lsh_bucket(embeddings: DataFrame, vec_col: str = "embedding",
     (Σ_d v_d · sin(1 + (p+1)(d+1))) > 0. Returns (id, bucket)."""
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        _bucket_expr(vec_col, range(n_planes)).alias("bucket"),
+        F.element_at(_bucket_arr_expr(vec_col, 1, n_planes), 1)
+        .alias("bucket"),
     )
 
 
@@ -143,20 +148,17 @@ def lsh_bucket_tables(embeddings: DataFrame, vec_col: str = "embedding",
 
     Global plane index p = table·planes_per_table + plane, weight
     sin(1 + (p+1)(d+1)) — table 0 with planes_per_table = N_PLANES
-    reproduces lsh_bucket exactly. Returns (vec_id, table, bucket)."""
-    buckets = [
-        _bucket_expr(
-            vec_col,
-            range(t * planes_per_table, (t + 1) * planes_per_table),
-        ).alias(f"_b{t}")
-        for t in range(n_tables)
-    ]
-    wide = embeddings.select(F.col(id_col).alias("vec_id"), *buckets)
+    reproduces lsh_bucket exactly. All n_tables·planes_per_table
+    projections come from ONE pass over the vector (_bucket_arr_expr).
+    Returns (vec_id, table, bucket)."""
+    wide = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _bucket_arr_expr(vec_col, n_tables, planes_per_table)
+        .alias("_buckets"),
+    )
     return wide.select(
         "vec_id",
-        F.posexplode(
-            F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
-        ).alias("table", "bucket"),
+        F.posexplode("_buckets").alias("table", "bucket"),
     )
 
 
