@@ -1887,6 +1887,88 @@ SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src
 """
 
 
+def q_stream_progress(spark, sf_dir):
+    """Batch-equivalence verification for the custom stateful streaming
+    operator (streaming.conversation_progress, §2.10): drain the
+    documents table as a file-source stream through
+    applyInPandasWithState with an idle timeout under
+    trigger(availableNow=True) — the final no-data batch fires every
+    pending processing-time timeout, so each conversation emits exactly
+    one complete=true row carrying its cross-batch accumulated state.
+    Those final states MUST equal the plain batch aggregate over the
+    same input (the DuckDB oracle) — pinning the stateful operator to
+    the same hash-verified standard as every batch operator."""
+    import shutil
+    import tempfile
+
+    from kgpipe.streaming import conversation_progress
+
+    # the file stream source lists a DIRECTORY; the test table is a
+    # single parquet file — stage it into a temp dir (tiny at sf0.01)
+    src_dir = tempfile.mkdtemp(prefix="kgpipe-q45-src-")
+    shutil.copy(f"{sf_dir}/documents.parquet",
+                f"{src_dir}/documents.parquet")
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(src_dir)
+        .select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            "text",
+        )
+    )
+    prog = conversation_progress(stream, idle_timeout_ms=1_000)
+    final_rows: list = []
+    seen: set = set()
+
+    def collect_final(bdf, _bid):
+        for r in bdf.collect():
+            seen.add(r["conv_id"])
+            if r["complete"]:
+                final_rows.append(r)
+
+    ck = tempfile.mkdtemp(prefix="kgpipe-q45-ck-")
+    q = (
+        prog.writeStream.foreachBatch(collect_final)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a drained availableNow query with pending processing-time
+    # timeouts keeps scheduling no-data batches — it never terminates
+    # on its own. Every conversation that appeared in any batch must
+    # finalize exactly once; stop the query as soon as that holds.
+    import time as _time
+
+    deadline = _time.time() + 240
+    while q.isActive and _time.time() < deadline:
+        if seen and len(final_rows) >= len(seen):
+            break
+        _time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(60)
+    if not seen or len(final_rows) < len(seen):
+        raise RuntimeError(
+            f"stream drain incomplete: {len(final_rows)}/{len(seen)}")
+    return spark.createDataFrame(
+        [(r["conv_id"], r["n_turns"], r["max_turn_idx"], r["n_tokens"])
+         for r in final_rows],
+        "conv_id string, n_turns long, max_turn_idx int, n_tokens long",
+    )
+
+
+Q_STREAM_PROGRESS_SQL = """
+SELECT source AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(doc_id) AS INT) AS max_turn_idx,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source
+"""
+
+
 QUERIES["q32_tag_rewrite"] = (q_tag_rewrite, Q_TAG_REWRITE_SQL)
 QUERIES["q33_truncate_context"] = (q_truncate_context, Q_TRUNCATE_CONTEXT_SQL)
 QUERIES["q34_resolution_cascade"] = (q_resolution_cascade,
@@ -1901,6 +1983,7 @@ QUERIES["q41_subword_align"] = (q_subword_align, Q_SUBWORD_ALIGN_SQL)
 QUERIES["q42_lsh_multitable"] = (q_lsh_multitable_verify, Q_LSH_MULTITABLE_SQL)
 QUERIES["q43_context_window"] = (q_context_window, Q_CONTEXT_WINDOW_SQL)
 QUERIES["q44_dedup_clusters"] = (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL)
+QUERIES["q45_stream_progress"] = (q_stream_progress, Q_STREAM_PROGRESS_SQL)
 
 # rows-only queries (no SQL oracle; currently none — every driver query
 # is DuckDB-verified)
