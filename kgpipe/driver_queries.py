@@ -1211,11 +1211,9 @@ def q_kg_triples(spark, sf_dir):
     res = run_pipeline(
         spark, tr, entity_kb, kb_args, mention_counts, summaries,
         language="en", check_invariants=False,
-        # hypotheses→ranked share the mention_id partitioning; fusing
-        # them drops one cut barrier (measured −2.6s at sf0.1 with
-        # identical output). Heavier fusion is NOT safe at 32 threads on
-        # 600k-turn inputs (per-task memory shrinks at fixed heap).
-        skip_cuts=("hypotheses", "ranked"),
+        # default SINGLE_CONSUMER_CUTS: candidates/hypotheses/ranked
+        # fuse (one consumer each; identical output, fewer cut
+        # barriers and driver jobs — pipeline.py for the measurements)
     )
     return res["triples"]
 

@@ -29,6 +29,21 @@ from kgpipe.mentions import (  # noqa: F401
 from kgpipe.triples import emit_triples
 
 
+# Stage cuts skipped by default: each of these frames has exactly ONE
+# downstream consumer, so cutting it buys no re-execution protection —
+# it only adds a write+read (or checkpoint) job and a stage barrier.
+# Measured (60k turns, identical triple counts): fused runs 22.6 s vs
+# 31.9 s at local[8] and 14.6 s vs 19.1 s at local[32], with the
+# per-run job count down 61 → 51 (the serial job floor is ~0.3 s of
+# driver latency per job — the largest engine-side term in the N→4N
+# scaling gap, BENCH/BASELINE.md). The multi-consumer cuts (mentions,
+# linked, decisions, classified) stay: `decisions` fused measured
+# SLOWER (25.1 s vs 22.6 at local[8]; ~3× degradation at 32 cores in
+# r2) because the aggregation feeds a fold-back join. Pass
+# skip_cuts=() to restore a cut table at every sub-step.
+SINGLE_CONSUMER_CUTS = ("candidates", "hypotheses", "ranked")
+
+
 def surfaces_df_from_dims(alias_map: DataFrame,
                           mention_counts: DataFrame) -> DataFrame:
     """Gazetteer surface universe = known mention surface forms (the
@@ -100,7 +115,7 @@ def run_pipeline(
     work_dir: str | None = None,
     dims: dict | None = None,
     cut_mode: str = "local",
-    skip_cuts: tuple = (),
+    skip_cuts: tuple = SINGLE_CONSUMER_CUTS,
     canonical_map: DataFrame | None = None,
 ) -> dict:
     """Returns dict of stage DataFrames: turns, mentions, candidates,
@@ -194,11 +209,13 @@ def run_pipeline(
             return read_table(spark, path)
 
         mentions = cut(stage_mentions(turns), "mentions")
-        # Linking is cut at every sub-step: the fused plan anti-scales
-        # at high parallelism (measured 18s@8 cores → 166s@32 on 90k
-        # turns), while the same sub-steps cut apart run ~25s at BOTH
-        # levels. Each cut table is also the natural checkpoint/lineage
-        # boundary of the production design.
+        # Linking sub-steps: candidates/hypotheses/ranked are single-
+        # consumer and fuse by default (SINGLE_CONSUMER_CUTS above).
+        # The historical anti-scaling of the fused plan (18s@8 →
+        # 166s@32 on 90k turns, r1) was root-caused in r2 to the
+        # closure-captured pandas-UDF tagger, not to fusion; with the
+        # broadcast-join tagger the fused plan is faster at every
+        # measured parallelism and saves ~10 driver jobs per run.
         from kgpipe.linking import (
             marginalize, predictions_per_mention, score_hypotheses,
         )
