@@ -97,16 +97,29 @@ EXEC_MEM = os.environ.get("KGPIPE_EXEC_MEM", "2g")
 
 def run_leg(cores_max: int, trial: int) -> dict:
     ev_dir = f"{EV_ROOT}/c{cores_max}_t{trial}"
-    out = subprocess.run(
-        [sys.executable, str(REPO / "scripts/standalone_worker.py"),
-         str(cores_max), str(EXEC_CORES), EXEC_MEM],
-        capture_output=True, text=True, check=True,
-        env={**os.environ, "KGPIPE_EVENTLOG_DIR": ev_dir},
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
-    r["ev_dir"] = ev_dir
-    return r
+    last_err = None
+    for attempt in range(2):  # one retry: a leg can die to transient
+        out = subprocess.run(  # executor/port hiccups on this host
+            [sys.executable, str(REPO / "scripts/standalone_worker.py"),
+             str(cores_max), str(EXEC_CORES), EXEC_MEM],
+            capture_output=True, text=True,
+            env={**os.environ, "KGPIPE_EVENTLOG_DIR": ev_dir},
+        )
+        if out.returncode == 0:
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            r["ev_dir"] = ev_dir
+            if attempt:
+                r["retried"] = True
+            return r
+        last_err = out
+        print(f"leg cores={cores_max} trial={trial} attempt {attempt} "
+              f"FAILED rc={out.returncode}; stderr tail:\n"
+              + "\n".join(out.stderr.splitlines()[-15:]), flush=True)
+    raise RuntimeError(
+        f"leg cores={cores_max} trial={trial} failed twice; last stderr:\n"
+        + "\n".join((last_err.stderr or "").splitlines()[-30:]))
 
 
 def eventlog_stats(ev_dir: str) -> dict:
