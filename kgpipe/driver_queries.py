@@ -1967,6 +1967,68 @@ FROM documents GROUP BY source
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (third scale path next to q28/q29 LSH and q42 banded
+    LSH): coarse-quantize into 8 cells (deterministic lowest-id seeds),
+    probe each query's 2 nearest cells, exact-cosine top-3 re-rank
+    inside the probed candidates."""
+    from kgpipe.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") % 50 == 0),
+                   k=3, n_cells=8, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"), "cosine",
+    )
+
+
+Q_IVF_TOPK_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(round(list_dot_product(e.v, e.v)
+                        + list_dot_product(c.cv, c.cv)
+                        - 2 * list_dot_product(e.v, c.cv), 6) AS DOUBLE) ASC,
+             c.cell ASC) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+qc AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             CAST(round(list_dot_product(q.qv, q.qv)
+                        + list_dot_product(c.cv, c.cv)
+                        - 2 * list_dot_product(q.qv, c.cv), 6) AS DOUBLE) ASC,
+             c.cell ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT qc.query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_dot_product(qc.qv, e.v)
+              / (sqrt(list_dot_product(qc.qv, qc.qv))
+                 * sqrt(list_dot_product(e.v, e.v))), 6) AS DOUBLE) AS cosine
+  FROM qc JOIN assigned a ON qc.cell = a.cell
+  JOIN emb e ON e.vec_id = a.vec_id
+  WHERE e.vec_id != qc.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 QUERIES["q32_tag_rewrite"] = (q_tag_rewrite, Q_TAG_REWRITE_SQL)
 QUERIES["q33_truncate_context"] = (q_truncate_context, Q_TRUNCATE_CONTEXT_SQL)
 QUERIES["q34_resolution_cascade"] = (q_resolution_cascade,
@@ -1982,6 +2044,7 @@ QUERIES["q42_lsh_multitable"] = (q_lsh_multitable_verify, Q_LSH_MULTITABLE_SQL)
 QUERIES["q43_context_window"] = (q_context_window, Q_CONTEXT_WINDOW_SQL)
 QUERIES["q44_dedup_clusters"] = (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL)
 QUERIES["q45_stream_progress"] = (q_stream_progress, Q_STREAM_PROGRESS_SQL)
+QUERIES["q46_ivf_topk"] = (q_ivf_topk, Q_IVF_TOPK_SQL)
 
 # rows-only queries (no SQL oracle; currently none — every driver query
 # is DuckDB-verified)

@@ -135,8 +135,18 @@ def acceptance_decisions(
 
 def attach_decisions(linked: DataFrame, decisions: DataFrame) -> DataFrame:
     """Fold the per-mention decision frame back onto the mention rows;
-    mentions with no accepted candidate get the Q0 link sentinel."""
-    return linked.join(decisions, "mention_id", "left").withColumn(
+    mentions with no accepted candidate get the Q0 link sentinel.
+
+    The decisions side carries long summary strings, so its parquet
+    footprint wildly underestimates its in-memory size: Spark's static
+    planner saw an ~8 MB file at 1.2M turns and chose a broadcast join
+    whose driver-side build was a measured 12.7 s serial stall (the
+    single largest gap in the N→4N event logs, BENCH/BASELINE.md). A
+    shuffled hash join is forced instead — per-mention rows stream
+    through executors with no driver collect, the exact shape a
+    10¹²-turn run needs (where decisions could never broadcast)."""
+    return linked.join(decisions.hint("shuffle_hash"), "mention_id",
+                       "left").withColumn(
         "link_qid", F.coalesce("accepted_qid", F.lit(Q0))
     )
 

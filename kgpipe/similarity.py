@@ -134,6 +134,99 @@ def lsh_candidate_pairs(embeddings: DataFrame, **kw) -> DataFrame:
     )
 
 
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 8,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the n_cells lowest-id
+    vectors serve as cell centroids (cell id = the seed's vec_id). A
+    production 100 TB index trains the quantizer offline (k-means /
+    PQ); the SERVING shape downstream — assign, probe, re-rank — is
+    identical, and a trained centroid table drops in for this one."""
+    return embeddings.orderBy(F.col(id_col).asc()).limit(n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+
+
+def _sq_dist(a, b):
+    """Squared L2 via the dot identity |a|²+|b|²−2a·b — three ordered
+    folds, bit-reproducible cross-engine like _dot (q20/q29)."""
+    return _dot(a, a) + _dot(b, b) - 2.0 * _dot(a, b)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cell): nearest centroid by squared L2 — broadcast the
+    (tiny) centroid table, argmin via a struct-min aggregation with a
+    deterministic (rounded dist, cell) tiebreak. Linear in corpus size;
+    the only shuffle is the per-vector groupBy."""
+    c = F.broadcast(centroids)
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("_v"))
+        .crossJoin(c)
+        .withColumn("_d", F.round(_sq_dist(F.col("_v"), F.col("centroid")), 6))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cell"))).alias("_m"))
+        .select("vec_id", F.col("_m.cell").alias("cell"))
+    )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             n_cells: int = 8, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into cells, probe each
+    query's nprobe nearest cells, exact-cosine re-rank inside the
+    probed candidates — the third ANN scale path next to single-table
+    LSH (q28/q29) and banded multi-table LSH (q42). Candidate
+    generation is an equi-join on cell (linear); nprobe/n_cells trade
+    recall against probe cost exactly as in a production IVF index.
+    Returns (query_id, neighbor_id, rank, cosine), rank ≤ k."""
+    cent = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    assign = ivf_assign(embeddings, cent, vec_col, id_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    q_scored = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d", F.round(_sq_dist(F.col("q_vec"), F.col("centroid")), 6))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("cell").asc())
+    q_cells = (
+        q_scored.withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cand = (
+        q_cells.join(
+            assign.join(
+                embeddings.select(F.col(id_col).alias("vec_id"),
+                                  F.col(vec_col).alias("n_vec")),
+                "vec_id",
+            ).withColumnRenamed("vec_id", "neighbor_id"),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("q_vec"), F.col("n_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_bucket_tables(embeddings: DataFrame, vec_col: str = "embedding",
                       id_col: str = "vec_id", n_tables: int = 4,
                       planes_per_table: int = 4) -> DataFrame:

@@ -250,6 +250,33 @@ def test_lsh_multitable_recall_beats_single_table(spark):
     assert t0 == b0
 
 
+def test_ivf_topk_probe_and_recall(spark):
+    """IVF ANN: every returned neighbor must lie in one of the query's
+    nprobe nearest cells, ranks are exact cosine inside the candidate
+    set, and with nprobe = n_cells (probe everything) IVF must equal
+    the brute-force top-k exactly."""
+    from kgpipe.similarity import ivf_assign, ivf_centroids, ivf_topk
+
+    emb = _clustered_embeddings(spark)
+    cent = ivf_centroids(emb, n_cells=4)
+    assert cent.count() == 4
+    assign = {r["vec_id"]: r["cell"] for r in
+              ivf_assign(emb, cent).collect()}
+    assert set(assign) == {r["vec_id"] for r in emb.collect()}
+
+    out = ivf_topk(emb, emb, k=1, n_cells=4, nprobe=4)
+    brute = cosine_topk(emb, emb, k=1)
+    assert {(r["query_id"], r["neighbor_id"]) for r in out.collect()} == \
+        {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+
+    # partial probe: candidates restricted to probed cells
+    narrow = ivf_topk(emb, emb, k=3, n_cells=4, nprobe=1)
+    # the query's single probed cell is its own argmin cell (it is a
+    # corpus vector), so every neighbor must share the query's cell
+    for r in narrow.collect():
+        assert assign[r["neighbor_id"]] == assign[r["query_id"]]
+
+
 def test_decode_backend_flag(spark):
     """The multimodal decode kernel is an optional import: this
     container has no Pillow, so the recorded backend must be 'ppm+stub'
