@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q31_class_report",
     "q42_lsh_multitable",
     "q43_context_window",
+    # new in r4: IVF ANN
+    "q46_ivf_topk",
 ]
 
 N_TRIALS = int(os.environ.get("KGPIPE_BENCH_TRIALS", "5"))
