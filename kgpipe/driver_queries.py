@@ -802,14 +802,18 @@ def q_lsh_cosine_verify(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = lsh_candidate_pairs(emb, n_planes=4)
-    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    # norms computed BELOW the pair join — once per vector, not per
+    # candidate pair (unrounded → cosine bit-identical)
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                    _norm(F.col("embedding")).alias("na"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                    _norm(F.col("embedding")).alias("nb"))
     return (
         pairs.join(va, "a").join(vb, "b")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb"))
-                    / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+                    / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= 0.2)
         .select("a", "b", F.col("bucket").cast("long").alias("bucket"), "cosine")
@@ -1763,14 +1767,17 @@ def q_lsh_multitable_verify(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = lsh_multitable_pairs(emb, n_tables=4, planes_per_table=4)
-    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    # norms below the join (once per vector; cosine bit-identical)
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                    _norm(F.col("embedding")).alias("na"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                    _norm(F.col("embedding")).alias("nb"))
     return (
         pairs.join(va, "a").join(vb, "b")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb"))
-                    / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+                    / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= 0.2)
         .select("a", "b", "cosine")

@@ -50,13 +50,19 @@ def cosine_topk(
     """Exact top-k neighbors per query (brute force): broadcast the
     query set, rank by cosine desc with (rounded cosine, neighbor id)
     deterministic ordering. Self-pairs excluded."""
+    # norms are computed BELOW the join — once per vector row, never
+    # per candidate pair (at 100 TB the corpus norm is a stored column;
+    # unrounded, so the cosine value is bit-identical to the per-pair
+    # _norm form)
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("_nn"),
     )
     scored = (
         c.crossJoin(q)
@@ -65,7 +71,7 @@ def cosine_topk(
             "cosine",
             F.round(
                 _dot(F.col("q_vec"), F.col("n_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                / (F.col("_qn") * F.col("_nn")),
                 6,
             ),
         )
@@ -187,7 +193,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     assign = ivf_assign(embeddings, cent, vec_col, id_col)
 
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       _norm(F.col(vec_col)).alias("_qn"))
     q_scored = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("_d", F.round(_sq_dist(F.col("q_vec"), F.col("centroid")), 6))
@@ -197,24 +204,27 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     q_cells = (
         q_scored.withColumn("_rn", F.row_number().over(probe_w))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "_qn", "cell")
     )
     cand = (
         q_cells.join(
             assign.join(
                 embeddings.select(F.col(id_col).alias("vec_id"),
-                                  F.col(vec_col).alias("n_vec")),
+                                  F.col(vec_col).alias("n_vec"),
+                                  _norm(F.col(vec_col)).alias("_nn")),
                 "vec_id",
             ).withColumnRenamed("vec_id", "neighbor_id"),
             "cell",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
+    # per-vector norms from below the join (bit-identical, never
+    # recomputed per candidate pair)
     scored = cand.withColumn(
         "cosine",
         F.round(
             _dot(F.col("q_vec"), F.col("n_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+            / (F.col("_qn") * F.col("_nn")),
             6,
         ),
     )
