@@ -266,6 +266,55 @@ def dedup_clusters(df: DataFrame, token_ids: DataFrame) -> DataFrame:
     )
 
 
+def simhash_pairs(df: DataFrame, token_ids: DataFrame,
+                  bands: int = 4, max_hamming: int = 3,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by banded SimHash — the composition that makes
+    the fingerprint (q14) an actual dedup operator: split the B-bit
+    simhash into `bands` contiguous chunks; docs sharing ANY chunk
+    value are candidates (one equi-join per band, the same linear
+    shape as MinHash banding), then verify the exact hamming distance
+    with one xor+popcount per candidate. Pigeonhole guarantee: a pair
+    within hamming distance d is ALWAYS caught when d < bands (some
+    chunk is untouched) — so keep bands > max_hamming for exhaustive
+    recall, the classic 64-bit/4-band/d≤3 web-dedup config. Returns
+    (a, b, hamming) with hamming ≤ max_hamming."""
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    sim = simhash(df, token_ids, bits=bits).cache()
+    pairs = None
+    for b in range(bands):
+        keyed = sim.select(
+            "doc_id",
+            F.shiftright(F.col("simhash"), b * chunk)
+            .bitwiseAND(F.lit(mask)).alias("bk"),
+        )
+        p = (
+            keyed.alias("l").join(keyed.alias("r"), "bk")
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    out = (
+        cand.join(sim.select(F.col("doc_id").alias("a"),
+                             F.col("simhash").alias("_sa")), "a")
+        .join(sim.select(F.col("doc_id").alias("b"),
+                         F.col("simhash").alias("_sb")), "b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    .cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    out = out.cache()
+    out.count()
+    sim.unpersist()
+    return out
+
+
 def simhash(df: DataFrame, token_ids: DataFrame,
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over token multiset: bit_k = sign of

@@ -2053,6 +2053,41 @@ QUERIES["q44_dedup_clusters"] = (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL)
 QUERIES["q45_stream_progress"] = (q_stream_progress, Q_STREAM_PROGRESS_SQL)
 QUERIES["q46_ivf_topk"] = (q_ivf_topk, Q_IVF_TOPK_SQL)
 
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs (4 bands × 4 bits over the 16-bit
+    fingerprint → one equi-join per band → exact hamming verify):
+    completes SimHash from fingerprint (q14) to dedup operator, with
+    the pigeonhole recall guarantee bands > max_hamming."""
+    from kgpipe.dedup import simhash_pairs
+
+    return simhash_pairs(t(spark, sf_dir, "documents"),
+                         _token_ids(spark, sf_dir),
+                         bands=4, max_hamming=3)
+
+
+_SIMHASH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band,"
+    f" CAST((simhash // {1 << (b * 4)}) % 16 AS BIGINT) AS bk FROM sim"
+    for b in range(4)
+)
+
+Q_SIMHASH_PAIRS_SQL = f"""
+WITH sim AS ({_simhash_sql().strip()}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c JOIN sim sa ON sa.doc_id = c.a JOIN sim sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+QUERIES["q47_simhash_pairs"] = (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL)
+
 # rows-only queries (no SQL oracle; currently none — every driver query
 # is DuckDB-verified)
 ROWS_ONLY_QUERIES: dict = {}

@@ -250,6 +250,27 @@ def test_lsh_multitable_recall_beats_single_table(spark):
     assert t0 == b0
 
 
+def test_simhash_pairs_banded(spark):
+    """Banded SimHash pairs: identical docs pair at hamming 0; the
+    pigeonhole guarantee (bands > max_hamming) means every pair within
+    the hamming cap that exists among the brute-force fingerprints is
+    found by the banded join."""
+    from kgpipe.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    ids = build_token_ids(docs).select("token", "token_id")
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_pairs(docs, ids, bands=4, max_hamming=3)
+           .collect()}
+    assert got.get((0, 1)) == 0  # identical docs
+    # brute-force ground truth over the fingerprints
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs, ids).collect()}
+    expect = {(a, b): bin(s[a] ^ s[b]).count("1")
+              for a in s for b in s if a < b
+              and bin(s[a] ^ s[b]).count("1") <= 3}
+    assert got == expect
+
+
 def test_ivf_topk_probe_and_recall(spark):
     """IVF ANN: every returned neighbor must lie in one of the query's
     nprobe nearest cells, ranks are exact cosine inside the candidate
