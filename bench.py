@@ -98,7 +98,13 @@ def main():
         probes.append(load_probe_gbps())
         for name in BENCH_QUERIES:
             t0 = time.time()
-            rows[name] = qs[name](spark, sf_dir).count()
+            df = qs[name](spark, sf_dir)
+            rows[name] = df.count()
+            # release any cache the query handed us (the eager dedup
+            # pair queries return cached frames whose unpersist the
+            # caller owns; a no-op for everything else) — so trial N+1
+            # starts from the same executor-memory state as trial 1
+            df.unpersist()
             trials[name].append(time.time() - t0)
         print(f"# pass {trial + 1}/{N_TRIALS} done "
               f"(probe {probes[-1]} GB/s)", file=sys.stderr)

@@ -37,6 +37,11 @@ from kgpipe.kb import qid_num
 # backend actually used by the last connected_components call:
 # "graphframes" when the package + jar are importable, else "loop"
 last_cc_backend: str | None = None
+# label-propagation rounds the last loop-backend call took to converge
+# (incl. the final no-change round). Exposed for the skew/convergence
+# tests: hash-to-min is O(log n) rounds, and a regression here turns
+# directly into serial loop jobs at billion-edge scale.
+last_cc_rounds: int | None = None
 
 
 def _graphframes_unusable(spark) -> str | None:
@@ -100,12 +105,15 @@ def connected_components(
     them in downstream (canonicalize_qids leaves unmapped ids as-is).
 
     backend: "auto" uses GraphFrames when the package AND jar are usable
-    (checked up front; any runtime failure still falls back to the loop
-    so a broken install can't take down default callers), "loop" /
-    "graphframes" force one path ("graphframes" raises on an unusable
-    install). kgpipe.canonical.last_cc_backend records which path ran.
+    (checked up front; the GraphFrames result is materialized inside the
+    guarded region, so even failures GraphFrames defers to the first
+    action fall back to the loop — a broken install can't take down
+    default callers), "loop" / "graphframes" force one path
+    ("graphframes" raises on an unusable install).
+    kgpipe.canonical.last_cc_backend records which path ran;
+    last_cc_rounds the loop rounds to convergence.
     """
-    global last_cc_backend
+    global last_cc_backend, last_cc_rounds
     keyf = key or (lambda c: c)
 
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -120,7 +128,16 @@ def connected_components(
         if reason is None:  # pragma: no cover - requires graphframes jar
             try:
                 last_cc_backend = "graphframes"
-                return _graphframes_cc(sym, keyf, max_iter)
+                # materialize INSIDE the guarded region: GraphFrames
+                # failures deferred to the caller's first action on the
+                # lazy result (e.g. the min_by remap join) would escape
+                # this except and break backend="auto"'s documented
+                # fallback. The eager localCheckpoint also detaches the
+                # result from its inputs, so callers may unpersist/free
+                # the edge frame immediately (dedup_clusters relies on
+                # this for both backends).
+                return _graphframes_cc(sym, keyf, max_iter).localCheckpoint(
+                    eager=True)
             except Exception:
                 if backend == "graphframes":
                     raise
@@ -144,7 +161,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    last_cc_rounds = 0
     for _ in range(max_iter):
+        last_cc_rounds += 1
         # (1) adopt the min label among self + neighbors
         nbr = (
             sym.join(

@@ -18,8 +18,32 @@ optionally corpus-relative) before the exact pair join.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def unpersist_after(df: DataFrame):
+    """Scope the caller-owns-unpersist contract of the eager pair
+    functions (jaccard_pairs / minhash_lsh_pairs / simhash_pairs, which
+    return a CACHED frame):
+
+        with unpersist_after(minhash_lsh_pairs(df, ids)) as pairs:
+            ... consume pairs ...
+
+    guarantees the cached frame is released on exit (also on error), so
+    repeated calls across a long session / bench pass can't accumulate
+    pinned storage. Consumers that must outlive the block (rare) should
+    copy out (e.g. collect or write) before exit."""
+    try:
+        yield df
+    finally:
+        # blocking: the release is part of the contract — callers (and
+        # the hygiene tests) may rely on the storage being gone when the
+        # block exits, not eventually
+        df.unpersist(blocking=True)
 
 # (a, b) parameters for the 8 universal hashes h_j(x) = (a·x + b) mod P
 MINHASH_P = 8191
@@ -257,9 +281,16 @@ def dedup_clusters(df: DataFrame, token_ids: DataFrame) -> DataFrame:
     the string form would roughly double the dominant shuffle stream)."""
     from kgpipe.canonical import connected_components
 
-    pairs = minhash_lsh_pairs(df, token_ids)
-    cc = connected_components(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    # unpersist_after: minhash_lsh_pairs returns a CACHED pair frame and
+    # this function is its only consumer — without the scope every
+    # dedup_clusters call would pin one more cached frame for the life
+    # of the session. Safe for BOTH CC backends: connected_components
+    # returns an eagerly-materialized frame (the loop localCheckpoints
+    # per round; the GraphFrames path localCheckpoints inside its guard)
+    # so nothing downstream is lazy over `pairs`.
+    with unpersist_after(minhash_lsh_pairs(df, token_ids)) as pairs:
+        cc = connected_components(
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("keep_id"),

@@ -99,6 +99,10 @@ def run_leg(cores_max: int, trial: int) -> dict:
     ev_dir = f"{EV_ROOT}/c{cores_max}_t{trial}"
     last_err = None
     for attempt in range(2):  # one retry: a leg can die to transient
+        # fresh eventlog dir per attempt: a failed first attempt would
+        # otherwise leave a truncated app-* log that eventlog_stats
+        # could pick over the good retry's log
+        shutil.rmtree(ev_dir, ignore_errors=True)
         out = subprocess.run(  # executor/port hiccups on this host
             [sys.executable, str(REPO / "scripts/standalone_worker.py"),
              str(cores_max), str(EXEC_CORES), EXEC_MEM],
@@ -134,7 +138,9 @@ def eventlog_stats(ev_dir: str) -> dict:
         return {}
     if not files:
         return {}
-    return summarize(str(files[0]))
+    # newest app-* log: belt-and-braces with the per-attempt dir wipe
+    # (a retried leg must never be summarized from a stale log)
+    return summarize(str(max(files, key=lambda p: p.stat().st_mtime)))
 
 
 def main():

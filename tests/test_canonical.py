@@ -153,3 +153,43 @@ def test_cc_backend_fallback_flag(spark):
     assert canonical.last_cc_backend == "loop"
     with _pytest.raises(ImportError):
         canonical.connected_components(edges, backend="graphframes")
+
+
+def test_cc_star_graph_skewed_hub(spark):
+    """Skewed super-component guard: a star graph (one hub, 10⁴ spokes)
+    is the worst-case skew for the min-label aggregation — the hub's
+    groupBy("a") group holds every edge. It must still converge in O(1)
+    rounds with the right answer: the per-round min() is map-side
+    combinable (partial aggregation shrinks the hub group to one row
+    per shuffle partition BEFORE the shuffle), so the hot key costs no
+    hot partition — the property that makes the loop safe at
+    billion-edge scale without salting."""
+    from kgpipe import canonical
+
+    n = 10_000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst"))
+    out = canonical.connected_components(edges)
+    assert out.count() == n + 1
+    assert out.filter(F.col("component") != 0).count() == 0
+    # round 1 labels every spoke 0; round 2 observes no change
+    assert canonical.last_cc_rounds <= 3
+
+
+def test_cc_path_graph_log_rounds(spark):
+    """Convergence bound: hash-to-min with the per-round pointer jump
+    is O(log n) rounds, NOT O(diameter) — a 256-node path (diameter
+    255) must converge in ≤ 2·log₂(n)+2 rounds. Plain propagation
+    would need 255; a regression here multiplies the serial job count
+    at scale."""
+    import math
+
+    from kgpipe import canonical
+
+    n = 256
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    out = canonical.connected_components(edges)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert canonical.last_cc_rounds <= 2 * math.ceil(math.log2(n)) + 2

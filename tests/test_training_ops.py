@@ -400,6 +400,44 @@ def test_dedup_cache_hygiene(spark):
     assert _n_cached(spark) == n0
 
 
+def _cached_ids(spark) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def test_unpersist_after_scopes_all_eager_pair_paths(spark):
+    """The caller-owns-unpersist contract is enforceable through ONE
+    shared scope: each eager pair function (jaccard / minhash / simhash)
+    routed through unpersist_after leaves zero cached RDDs behind —
+    including when the consuming block raises. Tracked by RDD id (the
+    async ContextCleaner may concurrently drop OTHER tests' checkpoint
+    RDDs, so absolute counts are not stable — new ids are)."""
+    from kgpipe.dedup import simhash_pairs, unpersist_after
+
+    docs = _docs(spark)
+    ids = build_token_ids(docs).select("token", "token_id")
+    makers = [
+        lambda: jaccard_pairs(docs, n=3, threshold=0.1, max_df=10),
+        lambda: minhash_lsh_pairs(docs, ids),
+        lambda: simhash_pairs(docs, ids),
+    ]
+    for make in makers:
+        before = _cached_ids(spark)
+        with unpersist_after(make()) as pairs:
+            assert pairs.count() >= 1
+            added = _cached_ids(spark) - before
+            assert added                        # pair frame cached inside
+        assert not (_cached_ids(spark) & added)  # released on exit
+
+    before = _cached_ids(spark)
+    try:
+        with unpersist_after(minhash_lsh_pairs(docs, ids)) as pairs:
+            added = _cached_ids(spark) - before
+            raise RuntimeError("consumer failed")
+    except RuntimeError:
+        pass
+    assert not (_cached_ids(spark) & added)      # released on error too
+
+
 def test_dedup_clusters_representatives(spark):
     """LSH pairs → connected components → min-doc_id representative:
     chained near-dups collapse into one cluster."""
