@@ -1925,18 +1925,14 @@ def q_stream_progress(spark, sf_dir):
         )
     )
     prog = conversation_progress(stream, idle_timeout_ms=1_000)
-    final_rows: list = []
-    seen: set = set()
-
-    def collect_final(bdf, _bid):
-        for r in bdf.collect():
-            seen.add(r["conv_id"])
-            if r["complete"]:
-                final_rows.append(r)
-
     ck = tempfile.mkdtemp(prefix="kgpipe-q45-ck-")
+    sink = "q45_progress_sink"
+    try:  # same session may have run q45 before (fresh run = fresh table)
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
     q = (
-        prog.writeStream.foreachBatch(collect_final)
+        prog.writeStream.format("memory").queryName(sink)
         .outputMode("update")
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
@@ -1944,25 +1940,35 @@ def q_stream_progress(spark, sf_dir):
     )
     # a drained availableNow query with pending processing-time
     # timeouts keeps scheduling no-data batches — it never terminates
-    # on its own. Every conversation that appeared in any batch must
-    # finalize exactly once; stop the query as soon as that holds.
+    # on its own (the measured quirk that delivers the timeout flush).
+    # Every conversation that appeared in any batch must finalize
+    # exactly once; poll the SINK TABLE's aggregate for that condition
+    # (one count row per poll — no per-row driver collect anywhere)
+    # and stop the query as soon as it holds.
     import time as _time
+
+    def drain_state():
+        return spark.table(sink).agg(
+            F.count_distinct(F.col("conv_id")).alias("seen"),
+            F.count(F.when(F.col("complete"), True)).alias("final"),
+        ).first()
 
     deadline = _time.time() + 240
     while q.isActive and _time.time() < deadline:
-        if seen and len(final_rows) >= len(seen):
+        s = drain_state()
+        if s["seen"] > 0 and s["final"] >= s["seen"]:
             break
         _time.sleep(0.25)
     q.stop()
     q.awaitTermination(60)
-    if not seen or len(final_rows) < len(seen):
+    s = drain_state()
+    if s["seen"] == 0 or s["final"] < s["seen"]:
         raise RuntimeError(
-            f"stream drain incomplete: {len(final_rows)}/{len(seen)}")
-    return spark.createDataFrame(
-        [(r["conv_id"], r["n_turns"], r["max_turn_idx"], r["n_tokens"])
-         for r in final_rows],
-        "conv_id string, n_turns long, max_turn_idx int, n_tokens long",
-    )
+            f"stream drain incomplete: {s['final']}/{s['seen']}")
+    # the memory sink table outlives the stopped query; each conversation
+    # holds exactly one complete=true row (state removed on timeout)
+    return spark.table(sink).filter(F.col("complete")).select(
+        "conv_id", "n_turns", "max_turn_idx", "n_tokens")
 
 
 Q_STREAM_PROGRESS_SQL = """

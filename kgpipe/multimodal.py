@@ -54,14 +54,15 @@ except ImportError:
 
 
 def decode_backend() -> str:
-    """Which decode kernel extract_features will use: "pil" when PIL
-    imported; otherwise "ppm+stub" — binary PPM/PGM payloads get a REAL
-    dependency-free decode (_decode_image_ppm) and everything else the
-    deterministic stub. Recorded so the claim is testable: the sandbox
-    (no Pillow) asserts "ppm+stub" and decodes a generated PGM to known
-    luminance values; an environment with Pillow flips to the PIL
-    kernel without any plan change."""
-    return "pil" if _HAS_PIL else "ppm+stub"
+    """Which decode kernels extract_features will use: images go to PIL
+    when importable, else the REAL dependency-free PPM/PGM decoder
+    (_decode_image_ppm) for P5/P6 payloads; audio RIFF/WAVE payloads get
+    a REAL dependency-free PCM parse (_decode_audio_wav); everything
+    else the deterministic stub. Recorded so the claim is testable: the
+    sandbox (no Pillow) asserts "ppm+wav+stub" and decodes a generated
+    PGM / WAV to hand-computed values; an environment with Pillow flips
+    the image kernel without any plan change."""
+    return "pil+wav" if _HAS_PIL else "ppm+wav+stub"
 
 
 def _decode_image_stub(payload: bytes, dim: int = 8) -> list:
@@ -73,13 +74,19 @@ def _decode_image_stub(payload: bytes, dim: int = 8) -> list:
     return [((v % 2_000_000) / 1_000_000.0) - 1.0 for v in vals]
 
 
-def _decode_image_pil(payload: bytes, dim: int = 8) -> list:  # pragma: no cover
-    """Real decode (runs only where Pillow is installed): decode →
-    grayscale → dim×1 thumbnail → luminance in [-1, 1) via px/128 − 1
-    (px ≤ 255 → max 0.9921875: honors the same half-open range as the
-    stub and the PPM kernel). Payloads that aren't valid images fall
-    back to the stub row-wise, so mixed/corrupt media can't fail the
-    batch."""
+def _decode_image_pil(payload: bytes, dim: int = 8) -> list:
+    """Real decode (runs where Pillow is installed): decode → grayscale
+    → dim×1 thumbnail → luminance in [-1, 1) via px/128 − 1 (px ≤ 255 →
+    max 0.9921875: honors the same half-open range as the stub and the
+    PPM kernel). Payloads that aren't valid images fall back to the stub
+    row-wise, so mixed/corrupt media can't fail the batch.
+
+    This container has no Pillow (and installs are off-limits), so the
+    tests exercise this kernel's glue — the open/convert/resize/getdata
+    call sequence, the px/128−1 mapping, the row-wise fallback — through
+    a minimal PIL-API fake (tests/test_training_ops.py); numeric
+    agreement with REAL Pillow output still needs an environment that
+    ships it (the PPM kernel proves the shared contract in-container)."""
     import io as _io
 
     try:
@@ -156,12 +163,82 @@ def _decode_image_ppm(payload: bytes, dim: int = 8) -> list:
     return feats
 
 
+def _decode_audio_wav(payload: bytes, dim: int = 8) -> list:
+    """REAL dependency-free decode for RIFF/WAVE PCM (8- or 16-bit, any
+    channel count) — the audio analog of _decode_image_ppm, so a second
+    media kind has an in-container-verified decode path. Channels are
+    mixed to mono per frame; the signal is reduced to `dim` features by
+    per-band RMS over equal-width TIME bands (the same deterministic
+    banding scheme as the image kernel's column bands), each mapped to
+    [-1, 1] via 2·(rms/full_scale) − 1 (rms==0 → −1; only a full-scale
+    DC signal reaches +1). Raises on malformed payloads — _decode_media
+    catches and falls back to the stub row-wise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_format, n_ch = struct.unpack("<HH", fmt[:4])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or n_ch < 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} ch={n_ch} bits={bits}")
+    if bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[:2 * n])
+        full = 32768.0
+    else:  # 8-bit PCM is UNSIGNED, centered at 128
+        samples = [b - 128 for b in data]
+        full = 128.0
+    frames = len(samples) // n_ch
+    if frames == 0:
+        raise ValueError("empty WAV data chunk")
+    mono = [sum(samples[f * n_ch:(f + 1) * n_ch]) / n_ch
+            for f in range(frames)]
+    feats = []
+    for b in range(dim):
+        lo = (b * frames) // dim
+        hi = max(((b + 1) * frames) // dim, lo + 1)
+        if lo >= frames:
+            lo, hi = frames - 1, frames
+        band = mono[lo:hi]
+        rms = (sum(x * x for x in band) / len(band)) ** 0.5
+        feats.append(2.0 * (rms / full) - 1.0)
+    return feats
+
+
 def _decode_image(payload: bytes, dim: int = 8) -> list:
-    if _HAS_PIL:  # pragma: no cover - container has no Pillow
+    if _HAS_PIL:
         return _decode_image_pil(payload, dim)
     if payload[:2] in (b"P5", b"P6"):
         try:
             return _decode_image_ppm(payload, dim)
+        except Exception:
+            return _decode_image_stub(payload, dim)
+    return _decode_image_stub(payload, dim)
+
+
+def _decode_media(kind: str, payload: bytes, dim: int = 8) -> list:
+    """Per-kind kernel dispatch inside the batch UDF: image → PIL/PPM,
+    audio → WAV PCM when the payload is RIFF/WAVE, video and everything
+    unrecognized → the deterministic stub. All kernels share the
+    fixed-dim [-1, 1) feature contract, so downstream schema/partitioning
+    never depends on which kernel ran."""
+    if kind == "image":
+        return _decode_image(payload, dim)
+    if kind == "audio" and payload[:4] == b"RIFF":
+        try:
+            return _decode_audio_wav(payload, dim)
         except Exception:
             return _decode_image_stub(payload, dim)
     return _decode_image_stub(payload, dim)
@@ -182,9 +259,10 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 "digest": pdf["content"].map(
                     lambda b: hashlib.sha256(b).hexdigest()[:16]
                 ),
-                "feature": pdf["content"].map(
-                    lambda b: _decode_image(bytes(b), dim)
-                ),
+                "feature": [
+                    _decode_media(k, bytes(b), dim)
+                    for k, b in zip(pdf["kind"], pdf["content"])
+                ],
             })
             yield out
 

@@ -152,6 +152,55 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 8,
         F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
 
 
+def ivf_train(embeddings: DataFrame, n_cells: int = 8, n_iter: int = 3,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Lloyd's k-means as DataFrame ops — turns the deterministic seed
+    pick (ivf_centroids) into TRAINED centroids, closing the cell-balance
+    gap: lowest-id seeds give no balance guarantee, and at corpus scale
+    one fat cell turns the IVF candidate equi-join into a hot partition.
+    Each iteration is assign (the existing ivf_assign: broadcast
+    centroids + argmin) then update (posexplode the assigned vectors →
+    groupBy(cell, dimension) avg — map-side combinable, so the update
+    shuffle carries (cell, dim, partial-sum) rows, never vectors →
+    refold to centroid arrays via a deterministic pos-sorted collect).
+    Cells that lose all members drop out (standard drop-empty policy),
+    so the result may have < n_cells rows. Returns (cell, centroid) —
+    drops straight into ivf_topk(centroids=...) / ivf_assign.
+
+    Run-to-run determinism note: avg() is a parallel mean — its
+    partial-sum order is partition-dependent, so trained centroids are
+    deterministic in VALUE up to float summation order (~1 ulp), unlike
+    the bit-pinned serving path. A production index trains once and
+    persists the centroid table; tests pin behavior (balance, recall),
+    not bits."""
+    cent = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    for _ in range(n_iter):
+        assign = ivf_assign(embeddings, cent, vec_col, id_col)
+        means = (
+            embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("_v"))
+            .join(assign, "vec_id")
+            .select("cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("cell", "_pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+        )
+        cent = (
+            means.groupBy("cell")
+            .agg(F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+            ).alias("_pm"))
+            .select("cell", F.expr("transform(_pm, e -> e._m)")
+                    .alias("centroid"))
+            # truncate the iterated plan per round (the CC lesson:
+            # iterated self-referential plans otherwise grow until
+            # Catalyst itself is the bottleneck) and materialize the
+            # tiny centroid table each broadcast consumer reuses
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def _sq_dist(a, b):
     """Squared L2 via the dot identity |a|²+|b|²−2a·b — three ordered
     folds, bit-reproducible cross-engine like _dot (q20/q29)."""
@@ -181,15 +230,19 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
              n_cells: int = 8, nprobe: int = 2,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into cells, probe each
     query's nprobe nearest cells, exact-cosine re-rank inside the
     probed candidates — the third ANN scale path next to single-table
     LSH (q28/q29) and banded multi-table LSH (q42). Candidate
     generation is an equi-join on cell (linear); nprobe/n_cells trade
     recall against probe cost exactly as in a production IVF index.
-    Returns (query_id, neighbor_id, rank, cosine), rank ≤ k."""
-    cent = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    Pass `centroids` (e.g. from ivf_train) to serve against a trained
+    quantizer — n_cells is then ignored. Returns (query_id, neighbor_id,
+    rank, cosine), rank ≤ k."""
+    cent = (centroids if centroids is not None
+            else ivf_centroids(embeddings, n_cells, vec_col, id_col))
     assign = ivf_assign(embeddings, cent, vec_col, id_col)
 
     q = queries.select(F.col(id_col).alias("query_id"),

@@ -298,11 +298,56 @@ def test_ivf_topk_probe_and_recall(spark):
         assert assign[r["neighbor_id"]] == assign[r["query_id"]]
 
 
+def test_ivf_train_balances_cells_and_lifts_recall(spark):
+    """Trained IVF centroids (DataFrame-native Lloyd iterations) must
+    beat the deterministic lowest-id seeds on BOTH axes that matter at
+    scale: cell balance (a fat cell = a hot partition in the candidate
+    equi-join) and recall at fixed probe cost. On the fixture the seed
+    quantizer packs 30/60 vectors into one cell with nprobe=1 recall
+    0.73; training rebalances (max cell < seed max) and lifts recall
+    ≥ 0.9 — the trained table drops into ivf_topk(centroids=...)."""
+    from kgpipe.similarity import (
+        ivf_assign, ivf_centroids, ivf_topk, ivf_train,
+    )
+
+    emb = _clustered_embeddings(spark)
+    seed = ivf_centroids(emb, n_cells=4)
+    trained = ivf_train(emb, n_cells=4, n_iter=3)
+    assert trained.count() <= 4  # empty cells drop (Lloyd drop-empty)
+    assert trained.schema["centroid"].dataType.simpleString() == \
+        "array<double>"
+
+    def cell_sizes(cent):
+        return [r["c"] for r in ivf_assign(emb, cent)
+                .groupBy("cell").agg(F.count("*").alias("c")).collect()]
+
+    assert max(cell_sizes(trained)) < max(cell_sizes(seed))
+
+    gt = {(r["query_id"], r["neighbor_id"])
+          for r in cosine_topk(emb, emb, k=1).collect()}
+
+    def recall(cent):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(emb, emb, k=1, nprobe=1,
+                                 centroids=cent).collect()}
+        return len(gt & got) / len(gt)
+
+    r_seed, r_trained = recall(seed), recall(trained)
+    assert r_trained >= r_seed
+    assert r_trained >= 0.9
+    # every served neighbor still honors the probe contract
+    assign = {r["vec_id"]: r["cell"]
+              for r in ivf_assign(emb, trained).collect()}
+    for r in ivf_topk(emb, emb, k=3, nprobe=1, centroids=trained).collect():
+        assert assign[r["neighbor_id"]] == assign[r["query_id"]]
+
+
 def test_decode_backend_flag(spark):
     """The multimodal decode kernel is an optional import: this
-    container has no Pillow, so the recorded backend must be 'ppm+stub'
-    (real dependency-free PPM/PGM decode, stub for other formats; an
-    environment with PIL flips to 'pil' without plan changes)."""
+    container has no Pillow, so the recorded backend must be
+    'ppm+wav+stub' (real dependency-free PPM/PGM and WAV/PCM decodes,
+    stub for other formats; an environment with PIL flips the image
+    kernel to 'pil+wav' without plan changes)."""
     from kgpipe import multimodal
 
     try:
@@ -311,7 +356,8 @@ def test_decode_backend_flag(spark):
         has_pil = True
     except ImportError:
         has_pil = False
-    assert multimodal.decode_backend() == ("pil" if has_pil else "ppm+stub")
+    assert multimodal.decode_backend() == (
+        "pil+wav" if has_pil else "ppm+wav+stub")
     if not has_pil:
         # stub path: features are the documented digest-fold fake
         media = synthetic_media(spark, n=3)
@@ -363,6 +409,114 @@ def test_ppm_decode_known_luminance(spark):
     assert all(abs(a - b) < 1e-6 for a, b in zip(out[0], feats))
     assert all(abs(a - b) < 1e-6 for a, b in zip(
         out[1], multimodal._decode_image_stub(b"not-an-image", 8)))
+
+
+def _wav(samples_bytes: bytes, n_ch: int = 1, bits: int = 16,
+         rate: int = 8000) -> bytes:
+    """Minimal valid RIFF/WAVE container around a raw PCM data chunk."""
+    import struct as _s
+
+    block = n_ch * bits // 8
+    fmt = _s.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    chunks = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+              + b"data" + _s.pack("<I", len(samples_bytes)) + samples_bytes)
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_known_rms(spark):
+    """The dependency-free WAV/PCM kernel is a REAL decode, verified
+    against hand-computed per-band RMS — the audio analog of the PPM
+    image kernel (feature = 2·(rms/full_scale) − 1)."""
+    import struct as _s
+
+    from kgpipe import multimodal
+
+    # 16-bit mono, 8 frames, dim=2 bands: band 0 silent → −1.0,
+    # band 1 alternating ±16384 → rms 16384 → feature 0.0
+    pcm16 = _s.pack("<8h", 0, 0, 0, 0, 16384, -16384, 16384, -16384)
+    assert multimodal._decode_audio_wav(_wav(pcm16), dim=2) == [-1.0, 0.0]
+
+    # 8-bit mono (unsigned, centered at 128): [128]*4 → −1.0;
+    # 192/64 alternating → |dev| 64 → rms 64 → 2·(64/128)−1 = 0.0
+    pcm8 = bytes([128, 128, 128, 128, 192, 64, 192, 64])
+    assert multimodal._decode_audio_wav(_wav(pcm8, bits=8), dim=2) == \
+        [-1.0, 0.0]
+
+    # stereo mixes channels per frame BEFORE banding: L=16384, R=-16384
+    # → mono 0 → silent
+    st = _s.pack("<8h", *([16384, -16384] * 4))
+    assert multimodal._decode_audio_wav(_wav(st, n_ch=2), dim=2) == \
+        [-1.0, -1.0]
+
+    # malformed RIFF (truncated data) raises; the dispatcher falls back
+    # to the stub row-wise instead of failing the batch
+    bad = _wav(b"")
+    assert multimodal._decode_media("audio", bad, 8) == \
+        multimodal._decode_image_stub(bad, 8)
+
+    # end-to-end through the Arrow-batched plan: an audio WAV row gets
+    # the real decode, an image PGM row the image kernel, a video row
+    # the stub — all in the same batch (per-kind dispatch)
+    pgm = b"P5 8 1 255\n" + bytes(16 * x for x in range(8))
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(_wav(pcm16)), None, None, None, None),
+         (1, "image", bytearray(pgm), None, None, None, None),
+         (2, "video", bytearray(b"mpeg?"), None, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: list(r["feature"])
+           for r in extract_features(media, dim=2).collect()}
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out[0], [-1.0, 0.0]))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(
+        out[1], multimodal._decode_image_ppm(pgm, 2)))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(
+        out[2], multimodal._decode_image_stub(b"mpeg?", 2)))
+
+
+def test_pil_kernel_glue_via_fake(spark, monkeypatch):
+    """_decode_image_pil's glue — the open/convert/resize/getdata call
+    sequence, the px/128 − 1 mapping, the row-wise corrupt fallback —
+    exercised through a minimal PIL-API fake (Pillow itself cannot be
+    installed in this container; numeric agreement with real Pillow
+    still requires an environment that ships it — the PPM kernel proves
+    the shared contract here)."""
+    from kgpipe import multimodal
+
+    class _FakeImg:
+        def __init__(self, px):
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            w, h = wh
+            assert h == 1
+            return _FakeImg(self._px[:w])
+
+        def getdata(self):
+            return list(self._px)
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            data = fp.read()
+            if not data.startswith(b"OKIMG"):
+                raise OSError("cannot identify image file")
+            return _FakeImg(list(data[5:]))
+
+    monkeypatch.setattr(multimodal, "_PILImage", _FakePIL)
+    monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+    assert multimodal.decode_backend() == "pil+wav"
+
+    payload = b"OKIMG" + bytes([0, 64, 128, 192, 255, 16, 32, 48, 99])
+    feats = multimodal._decode_image(payload, dim=8)
+    assert feats == [px / 128.0 - 1.0
+                     for px in [0, 64, 128, 192, 255, 16, 32, 48]]
+    # payloads the (fake) decoder rejects fall back to the stub row-wise
+    bad = b"corrupt"
+    assert multimodal._decode_image(bad, 8) == \
+        multimodal._decode_image_stub(bad, 8)
 
 
 def test_jaccard_max_df_none_uncapped(spark):
