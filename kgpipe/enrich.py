@@ -30,11 +30,27 @@ from kgpipe.schemas import (
 )
 
 
+def summary_dim(wiki_summaries: DataFrame) -> DataFrame:
+    """The deduplicated per-title summary dim the decisions stage
+    broadcasts: the reference cache is a dict keyed by title
+    (get_wikidata.py:218), so enforce one summary per title
+    deterministically (min). Built here so build_dims can materialize
+    it ONCE with the other dims — otherwise the groupBy runs inside the
+    broadcast build of every decisions-stage plan, a measured serial
+    driver-side window in the scaling event logs (the AQE broadcast
+    build blocks the whole query until the aggregation finishes)."""
+    return (
+        wiki_summaries.groupBy(F.col("title").alias("wikipedia_title"))
+        .agg(F.min("summary").alias("summary"))
+    )
+
+
 def acceptance_decisions(
     linked: DataFrame,
     kb_context: DataFrame,
     wiki_summaries: DataFrame,
     language: str = "en",
+    summaries_dim: DataFrame | None = None,
 ) -> DataFrame:
     """The per-mention acceptance/enrichment decision frame (one row
     per mention_id): accepted_qid, accepted_lang, wikidata_summary,
@@ -111,13 +127,13 @@ def acceptance_decisions(
 
     # Wikipedia summary: dim join replaces the MediaWiki REST call (S7);
     # the "No wikipedia title" → "No wikipedia summary found" row is
-    # pre-seeded in the reference cache (get_wikidata.py:218).
-    # the reference cache is a dict keyed by title → enforce one summary
-    # per title deterministically (min) before the join, so a dirty dim
-    # can't fan out fact rows
+    # pre-seeded in the reference cache (get_wikidata.py:218). Pass
+    # `summaries_dim` (build_dims materializes it) so the broadcast
+    # build collects a checkpointed table instead of running the
+    # dedup aggregation serially inside the build.
     summ = F.broadcast(
-        wiki_summaries.groupBy(F.col("title").alias("wikipedia_title"))
-        .agg(F.min("summary").alias("summary"))
+        summaries_dim if summaries_dim is not None
+        else summary_dim(wiki_summaries)
     )
     with_summary = (
         decided.join(summ, "wikipedia_title", "left")
@@ -156,11 +172,13 @@ def accept_and_enrich(
     kb_context: DataFrame,
     wiki_summaries: DataFrame,
     language: str = "en",
+    summaries_dim: DataFrame | None = None,
 ) -> DataFrame:
     """linked(mention_id, genre_prediction, ...) → + (link_qid,
     accepted_qid, accepted_lang, wikidata_summary, wikidata_arguments,
     wikipedia_title, wikipedia_summary). Composition of
     acceptance_decisions + attach_decisions."""
     return attach_decisions(
-        linked, acceptance_decisions(linked, kb_context, wiki_summaries, language)
+        linked, acceptance_decisions(linked, kb_context, wiki_summaries,
+                                     language, summaries_dim=summaries_dim)
     )

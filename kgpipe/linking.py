@@ -44,9 +44,14 @@ def score_hypotheses(
     of title tokens present in the turn.
     """
     ctx = mentions.select("mention_id", F.col("tokens").alias("ctx_tokens"))
+    # shuffle_hash: sort-merge would sort BOTH sides on mention_id —
+    # including the exploded ≤beam×candidate hypothesis stream — purely
+    # to feed a join whose build side (one token-array row per mention)
+    # hashes fine per partition; the sort was a top-3 spill source in
+    # the 1.2M-turn scaling event logs
     hyp = (
         candidates.join(F.broadcast(title_map), "qid")
-        .join(ctx, "mention_id")
+        .join(ctx.hint("shuffle_hash"), "mention_id")
         .withColumn("hyp_text", F.concat_ws(" >> ", F.col("title"), F.col("lang")))
         .withColumn("hyp_len", F.size(F.split(F.col("hyp_text"), " ")))
         .withColumn("title_tokens", F.split(F.lower(F.col("title")), " "))
@@ -74,7 +79,8 @@ def score_hypotheses(
 
 
 def marginalize(hypotheses: DataFrame,
-                lenpen: float = MARGINALIZE_LENPEN) -> DataFrame:
+                lenpen: float = MARGINALIZE_LENPEN,
+                details: bool = True) -> DataFrame:
     """A1 per-QID beam marginalization (post_process_wikidata,
     GENRE/genre/utils.py:507-533):
 
@@ -82,25 +88,44 @@ def marginalize(hypotheses: DataFrame,
 
     Two-pass logsumexp as pure expressions: group max, then
     log(Σ exp(x − max)) + max — no UDF, map-side partial agg applies.
-    Output: (mention_id, qid, texts, scores, score, rank).
-    """
+    Output: (mention_id, qid[, texts, scores], score, rank).
+
+    details=False is the PIPELINE shape: the per-QID hypothesis
+    texts/scores arrays are diagnostics nobody downstream of linking
+    consumes (predictions_per_mention folds only (rank, qid)), yet with
+    details=True they ride the collect_list structs, the rank-window
+    sort and the fold-back shuffle — measured ~300 extra bytes/row
+    through the three heaviest spill stages of the 1.2M-turn scaling
+    runs. The slim variant drops the hyp_score struct field and the
+    texts/scores outputs; `score` stays BIT-identical because the fold
+    order is unchanged: the array_sort keys (neg, hyp_text) already
+    order the group totally — equal (neg, hyp_text) implies an
+    identical hypothesis row, so the dropped tiebreak fields never
+    decided an ordering."""
     adj = hypotheses.withColumn(
         "adj_score",
         F.col("hyp_score") * F.col("hyp_len")
         / F.pow(F.col("hyp_len"), F.lit(lenpen)),
     )
+    hyp_struct = (
+        F.struct((-F.col("hyp_score")).alias("neg"), "hyp_text",
+                 "hyp_score", "adj_score")
+        if details else
+        F.struct((-F.col("hyp_score")).alias("neg"), "hyp_text",
+                 "adj_score")
+    )
     grouped = adj.groupBy("mention_id", "qid").agg(
         F.max("adj_score").alias("mx"),
-        F.array_sort(
-            F.collect_list(F.struct(
-                (-F.col("hyp_score")).alias("neg"), "hyp_text", "hyp_score", "adj_score"
-            ))
-        ).alias("hyps"),
+        F.array_sort(F.collect_list(hyp_struct)).alias("hyps"),
+    )
+    detail_cols = (
+        [F.expr("transform(hyps, h -> h.hyp_text)").alias("texts"),
+         F.expr("transform(hyps, h -> h.hyp_score)").alias("scores")]
+        if details else []
     )
     marg = grouped.select(
         "mention_id", "qid",
-        F.expr("transform(hyps, h -> h.hyp_text)").alias("texts"),
-        F.expr("transform(hyps, h -> h.hyp_score)").alias("scores"),
+        *detail_cols,
         (
             F.col("mx")
             + F.log(F.expr(
@@ -125,8 +150,12 @@ def predictions_per_mention(mentions: DataFrame, ranked: DataFrame) -> DataFrame
             "transform(array_sort(collect_list(struct(rank, qid))), x -> x.qid)"
         ).alias("genre_prediction")
     )
+    # shuffle_hash on the slim build side: the default sort-merge join
+    # would SORT the mention stream — rows carrying full text + token
+    # arrays — a pure overhead sort at corpus scale (the same
+    # wide-row-SMJ pathology as enrich.attach_decisions)
     return (
-        mentions.join(per_mention, "mention_id", "left")
+        mentions.join(per_mention.hint("shuffle_hash"), "mention_id", "left")
         .withColumn(
             "genre_prediction",
             F.coalesce("genre_prediction", F.array(F.lit(Q0))),
@@ -138,9 +167,10 @@ def link_mentions(mentions: DataFrame, candidates: DataFrame,
                   title_map: DataFrame, beam: int = DEFAULT_BEAM,
                   lenpen: float = MARGINALIZE_LENPEN) -> DataFrame:
     """Full linking stage: candidates → scored hypotheses → marginalize
-    → ranked predictions folded back onto mentions."""
+    → ranked predictions folded back onto mentions. Marginalization runs
+    slim (details=False): this composition consumes only (rank, qid)."""
     hyps = score_hypotheses(candidates, mentions, title_map, beam=beam)
-    ranked = marginalize(hyps, lenpen=lenpen)
+    ranked = marginalize(hyps, lenpen=lenpen, details=False)
     return predictions_per_mention(mentions, ranked)
 
 
@@ -172,5 +202,5 @@ def link_mentions_fast(mentions: DataFrame, mention_counts: DataFrame,
     ).select("mention_id", F.col("c.qid").alias("qid"),
              F.col("c.cnt").alias("cnt"))
     hyps = score_hypotheses(cand_rows, m_r, title_map, beam=beam)
-    ranked = marginalize(hyps, lenpen=lenpen)
+    ranked = marginalize(hyps, lenpen=lenpen, details=False)
     return predictions_per_mention(m_r, ranked)

@@ -65,7 +65,8 @@ def surfaces_from_dims(alias_map: DataFrame, mention_counts: DataFrame) -> list:
 
 
 def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
-               mention_counts: DataFrame, materialize: bool = True) -> dict:
+               mention_counts: DataFrame, materialize: bool = True,
+               wiki_summaries: DataFrame | None = None) -> dict:
     """KB-construction sub-pipeline (the reference's preprocess_wikidata/
     preprocess_mention_dicts stage): derive and return the broadcastable
     lookup dims + the gazetteer surface dim. Separate from the per-turn
@@ -85,6 +86,14 @@ def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
         "kb_context": build_kb_context(entity_kb, kb_args),
         "surfaces_df": surfaces_df_from_dims(am, mention_counts),
     }
+    if wiki_summaries is not None:
+        # dedup summaries HERE (amortized, materialized with the other
+        # dims) so the decisions stage's broadcast build collects a
+        # finished table instead of running the groupBy serially inside
+        # the build — a measured driver-side window in the scaling logs
+        from kgpipe.enrich import summary_dim
+
+        dims["summaries_dim"] = summary_dim(wiki_summaries)
     if materialize:
         from pyspark.sql import Observation
 
@@ -133,7 +142,8 @@ def run_pipeline(
     applied to the accepted/link QIDs after enrichment, BEFORE
     classification features are consumed and triples are emitted
     (north_rule canonicalization step). Broadcast joins, no shuffle."""
-    dims = dims or build_dims(spark, entity_kb, kb_args, mention_counts)
+    dims = dims or build_dims(spark, entity_kb, kb_args, mention_counts,
+                              wiki_summaries=wiki_summaries)
     title_map = dims["title_map"]
     alias_map = dims["alias_map"]
     kb_context = dims["kb_context"]
@@ -164,7 +174,9 @@ def run_pipeline(
         return link_mentions(m, cands, title_map, beam=beam)
 
     def stage_enrich(l: DataFrame) -> DataFrame:
-        return accept_and_enrich(l, kb_context, wiki_summaries, language=language)
+        return accept_and_enrich(l, kb_context, wiki_summaries,
+                                 language=language,
+                                 summaries_dim=dims.get("summaries_dim"))
 
     if checkpoint_dir:
         mentions = checkpoints.resume_stage(
@@ -225,7 +237,10 @@ def run_pipeline(
                     "candidates")
         hyps = cut(score_hypotheses(cands, mentions, title_map, beam=beam),
                    "hypotheses")
-        ranked = cut(marginalize(hyps), "ranked")
+        # details=False: texts/scores are per-QID diagnostics nothing in
+        # this pipeline reads; slim rows through the marginalize agg,
+        # the rank window and the fold-back join (score bit-identical)
+        ranked = cut(marginalize(hyps, details=False), "ranked")
         linked = cut(predictions_per_mention(mentions, ranked), "linked")
         # enrich split the same way: decision aggregation cut before the
         # fold-back join (fused, it degrades ~3× at 32 cores)
@@ -233,7 +248,8 @@ def run_pipeline(
 
         decisions = cut(
             acceptance_decisions(linked, kb_context, wiki_summaries,
-                                 language=language),
+                                 language=language,
+                                 summaries_dim=dims.get("summaries_dim")),
             "decisions",
         )
         enriched = cut(attach_decisions(linked, decisions), "enriched")

@@ -89,7 +89,7 @@ args_df = spark.read.parquet(INPUT_DIR + "/kb_args")
 mc = spark.read.parquet(INPUT_DIR + "/mention_counts")
 ws = spark.read.parquet(INPUT_DIR + "/wiki_summaries")
 
-dims = build_dims(spark, kb, args_df, mc)
+dims = build_dims(spark, kb, args_df, mc, wiki_summaries=ws)
 n_turns = tr.count()
 
 t0 = time.time()
