@@ -44,14 +44,14 @@ def score_hypotheses(
     of title tokens present in the turn.
     """
     ctx = mentions.select("mention_id", F.col("tokens").alias("ctx_tokens"))
-    # shuffle_hash: sort-merge would sort BOTH sides on mention_id —
-    # including the exploded ≤beam×candidate hypothesis stream — purely
-    # to feed a join whose build side (one token-array row per mention)
-    # hashes fine per partition; the sort was a top-3 spill source in
-    # the 1.2M-turn scaling event logs
+    # join strategy note (measured on the 1.2M-turn standalone pairs):
+    # forcing shuffle_hash here to skip the sort-merge sorts REGRESSED
+    # the tight-heap legs — the hash build of per-mention token arrays
+    # raised JVM GC ~6× while the Tungsten SMJ sorts it replaced spill
+    # compressed and GC-free. Keep the planner default (SMJ at scale).
     hyp = (
         candidates.join(F.broadcast(title_map), "qid")
-        .join(ctx.hint("shuffle_hash"), "mention_id")
+        .join(ctx, "mention_id")
         .withColumn("hyp_text", F.concat_ws(" >> ", F.col("title"), F.col("lang")))
         .withColumn("hyp_len", F.size(F.split(F.col("hyp_text"), " ")))
         .withColumn("title_tokens", F.split(F.lower(F.col("title")), " "))
@@ -150,12 +150,14 @@ def predictions_per_mention(mentions: DataFrame, ranked: DataFrame) -> DataFrame
             "transform(array_sort(collect_list(struct(rank, qid))), x -> x.qid)"
         ).alias("genre_prediction")
     )
-    # shuffle_hash on the slim build side: the default sort-merge join
-    # would SORT the mention stream — rows carrying full text + token
-    # arrays — a pure overhead sort at corpus scale (the same
-    # wide-row-SMJ pathology as enrich.attach_decisions)
+    # join strategy note: a shuffle_hash hint on the per_mention build
+    # side (to avoid sorting the wide mention stream) measurably raised
+    # GC on 2g executors (hash build of prediction arrays) without
+    # lowering spill — unlike enrich.attach_decisions, where the hint
+    # replaces a catastrophic driver BROADCAST, not a Tungsten sort.
+    # Keep the planner default here.
     return (
-        mentions.join(per_mention.hint("shuffle_hash"), "mention_id", "left")
+        mentions.join(per_mention, "mention_id", "left")
         .withColumn(
             "genre_prediction",
             F.coalesce("genre_prediction", F.array(F.lit(Q0))),

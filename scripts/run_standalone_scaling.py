@@ -165,6 +165,16 @@ def main():
     r1 = max(trials[legs[0]], key=lambda r: r["turns_per_sec"])
     r4 = max(trials[legs[1]], key=lambda r: r["turns_per_sec"])
     eff = (r4["turns_per_sec"] / r1["turns_per_sec"]) / 4.0
+    # per-pair efficiencies: trial i's N leg against trial i's 4N leg —
+    # the two legs of a pair run back-to-back, so each ratio sees
+    # (nearly) the same ambient load; the median over pairs is the
+    # robust one-invocation number next to best-per-level
+    pair_effs = [
+        round((b["turns_per_sec"] / a["turns_per_sec"]) / 4.0, 3)
+        for a, b in zip(trials[legs[0]], trials[legs[1]])
+    ]
+    import statistics
+
     s1, s4 = eventlog_stats(r1["ev_dir"]), eventlog_stats(r4["ev_dir"])
     result = {
         "n_executors": {"N": r1["executors"], "4N": r4["executors"]},
@@ -174,6 +184,9 @@ def main():
                         "4N": [t["seconds"] for t in trials[legs[1]]]},
         "eventlog": {"N": s1, "4N": s4},
         "efficiency_N_to_4N": round(eff, 3),
+        "efficiency_per_pair": pair_effs,
+        "efficiency_median_pair": round(statistics.median(pair_effs), 3)
+        if pair_effs else None,
     }
     print(json.dumps(result, indent=2))
     # BENCH/STANDALONE.json holds the curated multi-trial record;
