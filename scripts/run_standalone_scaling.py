@@ -95,7 +95,25 @@ EXEC_CORES = int(os.environ.get("KGPIPE_EXEC_CORES", "2"))
 EXEC_MEM = os.environ.get("KGPIPE_EXEC_MEM", "2g")
 
 
+def load_probe_gbps(n_mb: int = 256) -> float:
+    """Streaming-bandwidth probe (same as bench.py): GB/s of a numpy
+    sum over a fixed buffer. This host saturates its memory bus before
+    its ALUs (BENCH/BASELINE.md), so a probe dip before a leg is direct
+    evidence of neighbor load during that leg — the disclosure the
+    round-4 verdict asked for, in-band with each pair."""
+    import numpy as np
+
+    buf = np.ones(n_mb * 131072, dtype=np.float64)  # n_mb MiB
+    t0 = time.perf_counter()
+    s = float(buf.sum())
+    dt = time.perf_counter() - t0
+    assert s > 0
+    return round(n_mb / 1024.0 / dt, 2)
+
+
 def run_leg(cores_max: int, trial: int) -> dict:
+    probe = load_probe_gbps()
+    loadavg = round(os.getloadavg()[0], 2)
     ev_dir = f"{EV_ROOT}/c{cores_max}_t{trial}"
     last_err = None
     for attempt in range(2):  # one retry: a leg can die to transient
@@ -114,6 +132,8 @@ def run_leg(cores_max: int, trial: int) -> dict:
                     if l.startswith("{")][-1]
             r = json.loads(line)
             r["ev_dir"] = ev_dir
+            r["probe_gbps_before"] = probe
+            r["loadavg_1m_before"] = loadavg
             if attempt:
                 r["retried"] = True
             return r
@@ -187,6 +207,17 @@ def main():
         "efficiency_per_pair": pair_effs,
         "efficiency_median_pair": round(statistics.median(pair_effs), 3)
         if pair_effs else None,
+        # in-band host-load disclosure: bandwidth probe + 1-min loadavg
+        # taken immediately before each leg (pairs under a probe dip /
+        # loadavg spike ran against neighbor load; see bench.py)
+        "pair_probes_gbps": [
+            [a.get("probe_gbps_before"), b.get("probe_gbps_before")]
+            for a, b in zip(trials[legs[0]], trials[legs[1]])
+        ],
+        "pair_loadavg_1m": [
+            [a.get("loadavg_1m_before"), b.get("loadavg_1m_before")]
+            for a, b in zip(trials[legs[0]], trials[legs[1]])
+        ],
     }
     print(json.dumps(result, indent=2))
     # BENCH/STANDALONE.json holds the curated multi-trial record;
