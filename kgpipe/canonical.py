@@ -128,6 +128,10 @@ def connected_components(
         if reason is None:  # pragma: no cover - requires graphframes jar
             try:
                 last_cc_backend = "graphframes"
+                # the loop-round counter is meaningless for this backend;
+                # clear it so telemetry read after an auto->graphframes
+                # run can't pick up a stale value from a prior loop call
+                last_cc_rounds = None
                 # materialize INSIDE the guarded region: GraphFrames
                 # failures deferred to the caller's first action on the
                 # lazy result (e.g. the min_by remap join) would escape

@@ -1948,9 +1948,14 @@ def q_stream_progress(spark, sf_dir):
     import time as _time
 
     def drain_state():
+        # count DISTINCT finalized conversations: a conversation that
+        # finalizes twice (possible with multi-batch sources where data
+        # arrives after a timeout fired) must not mask another
+        # conversation that never finalized
         return spark.table(sink).agg(
             F.count_distinct(F.col("conv_id")).alias("seen"),
-            F.count(F.when(F.col("complete"), True)).alias("final"),
+            F.count_distinct(
+                F.when(F.col("complete"), F.col("conv_id"))).alias("final"),
         ).first()
 
     deadline = _time.time() + 240
@@ -1971,10 +1976,19 @@ def q_stream_progress(spark, sf_dir):
     if s["seen"] == 0 or s["final"] < s["seen"]:
         raise RuntimeError(
             f"stream drain incomplete: {s['final']}/{s['seen']}")
-    # the memory sink table outlives the stopped query; each conversation
-    # holds exactly one complete=true row (state removed on timeout)
-    return spark.table(sink).filter(F.col("complete")).select(
-        "conv_id", "n_turns", "max_turn_idx", "n_tokens")
+    # the memory sink table outlives the stopped query. Normally each
+    # conversation holds exactly one complete=true row (state removed on
+    # timeout), but a re-finalized conversation (data after a timeout in
+    # a multi-batch source) would hold two — collapse by conv_id taking
+    # the max of each accumulated (monotone) field so the result is
+    # deterministic and single-row-per-conversation regardless
+    return (
+        spark.table(sink).filter(F.col("complete"))
+        .groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"),
+             F.max("max_turn_idx").alias("max_turn_idx"),
+             F.max("n_tokens").alias("n_tokens"))
+    )
 
 
 Q_STREAM_PROGRESS_SQL = """

@@ -57,12 +57,15 @@ def decode_backend() -> str:
     """Which decode kernels extract_features will use: images go to PIL
     when importable, else the REAL dependency-free PPM/PGM decoder
     (_decode_image_ppm) for P5/P6 payloads; audio RIFF/WAVE payloads get
-    a REAL dependency-free PCM parse (_decode_audio_wav); everything
-    else the deterministic stub. Recorded so the claim is testable: the
-    sandbox (no Pillow) asserts "ppm+wav+stub" and decodes a generated
-    PGM / WAV to hand-computed values; an environment with Pillow flips
+    a REAL dependency-free PCM parse (_decode_audio_wav); video Y4M /
+    uncompressed-AVI payloads a REAL luma parse (_decode_video_y4m /
+    _decode_video_avi); everything else the deterministic stub. Recorded
+    so the claim is testable: the sandbox (no Pillow) asserts
+    "ppm+wav+y4m-avi+stub" and decodes generated PGM / WAV / Y4M / AVI
+    payloads to hand-computed values; an environment with Pillow flips
     the image kernel without any plan change."""
-    return "pil+wav" if _HAS_PIL else "ppm+wav+stub"
+    return ("pil+wav+y4m-avi" if _HAS_PIL
+            else "ppm+wav+y4m-avi+stub")
 
 
 def _decode_image_stub(payload: bytes, dim: int = 8) -> list:
@@ -163,6 +166,23 @@ def _decode_image_ppm(payload: bytes, dim: int = 8) -> list:
     return feats
 
 
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Walk RIFF subchunks in payload[pos:end], yielding
+    (chunk_id, body_offset, declared_size). Shared by the WAV audio and
+    AVI video kernels. A chunk whose DECLARED size exceeds the region is
+    corrupt — raise (→ stub fallback downstream) instead of silently
+    decoding truncated bytes into real-looking features."""
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + sz > end:
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {sz} bytes, "
+                f"{end - pos - 8} available")
+        yield cid, pos + 8, sz
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+
+
 def _decode_audio_wav(payload: bytes, dim: int = 8) -> list:
     """REAL dependency-free decode for RIFF/WAVE PCM (8- or 16-bit, any
     channel count) — the audio analog of _decode_image_ppm, so a second
@@ -176,16 +196,12 @@ def _decode_audio_wav(payload: bytes, dim: int = 8) -> list:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = data = None
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
-        body = payload[pos + 8:pos + 8 + sz]
+    for cid, off, sz in _riff_chunks(payload, 12, len(payload)):
+        body = payload[off:off + sz]
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
             data = body
-        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError("missing fmt /data chunk")
     audio_format, n_ch = struct.unpack("<HH", fmt[:4])
@@ -217,6 +233,181 @@ def _decode_audio_wav(payload: bytes, dim: int = 8) -> list:
     return feats
 
 
+def _band_frame_means(frame_means: list, dim: int) -> list:
+    """Reduce per-frame mean luminances to `dim` features by averaging
+    equal-width TIME bands (the same deterministic banding as the image
+    kernel's column bands and the WAV kernel's time bands), each mapped
+    to [-1, 1) via mean/128 − 1 — the shared luminance contract."""
+    n = len(frame_means)
+    feats = []
+    for b in range(dim):
+        lo = (b * n) // dim
+        hi = max(((b + 1) * n) // dim, lo + 1)
+        if lo >= n:
+            lo, hi = n - 1, n
+        band = frame_means[lo:hi]
+        feats.append((sum(band) / len(band)) / 128.0 - 1.0)
+    return feats
+
+
+# Y4M chroma subsampling → bytes-per-pixel of the full frame (Y plane is
+# always w*h; chroma planes follow). 4:2:0 variants need even dims.
+_Y4M_BPP = {"420": 1.5, "420jpeg": 1.5, "420mpeg2": 1.5, "420paldv": 1.5,
+            "422": 2.0, "444": 3.0, "mono": 1.0}
+
+
+def _y4m_frames(payload: bytes):
+    """Parse a YUV4MPEG2 stream, yielding (y_plane_offset, w, h) per
+    frame — only the luma plane is consumed, so chroma layout never
+    matters beyond sizing the skip. Raises on malformed streams."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated Y4M stream header")
+    w = h = None
+    cs = "420"  # Y4M default when no C tag present
+    for tok in payload[9:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok[1:].decode("ascii")
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError(f"bad Y4M geometry W={w} H={h}")
+    if cs not in _Y4M_BPP:
+        raise ValueError(f"unsupported Y4M colourspace C{cs}")
+    fsize = int(w * h * _Y4M_BPP[cs])
+    if fsize != w * h * _Y4M_BPP[cs]:
+        raise ValueError(f"odd {w}x{h} frame with subsampled chroma C{cs}")
+    pos = nl + 1
+    n_frames = 0
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME" or fnl < 0:
+            raise ValueError("malformed Y4M FRAME header")
+        pos = fnl + 1
+        if pos + fsize > len(payload):
+            raise ValueError("truncated Y4M frame data")
+        yield pos, w, h
+        pos += fsize
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("Y4M stream with zero frames")
+
+
+def _decode_video_y4m(payload: bytes, dim: int = 8) -> list:
+    """REAL dependency-free decode for uncompressed YUV4MPEG2 (Y4M)
+    video — the third media kind with an in-container-verified kernel,
+    completing the set (image PPM/PGM, audio WAV, video Y4M/AVI). Y4M
+    stores planar YCbCr; luminance IS the Y plane, so the per-frame mean
+    luma is an exact byte average — no colour conversion. Features =
+    per-TIME-band mean luma via _band_frame_means. Raises on malformed
+    payloads — _decode_media catches and falls back to the stub."""
+    means = [sum(payload[off:off + w * h]) / (w * h)
+             for off, w, h in _y4m_frames(payload)]
+    return _band_frame_means(means, dim)
+
+
+def _avi_frames(payload: bytes):
+    """Parse an uncompressed RIFF/AVI (BI_RGB 24-bit or 8-bit DIB
+    frames), yielding (frame_body_offset, frame_size, w, h, bits) per
+    '..db'/'..dc' movi chunk. Reuses the WAV kernel's RIFF chunk walker
+    (_riff_chunks) recursively through LIST containers. Only the video
+    stream's strf (the one following an strh with fccType 'vids') sets
+    the geometry, so an interleaved audio stream can't corrupt it."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    geom = {}
+    frames = []
+    last_strh_type = [None]
+
+    def walk(pos, end):
+        for cid, off, sz in _riff_chunks(payload, pos, end):
+            if cid == b"LIST":
+                walk(off + 4, off + sz)
+            elif cid == b"strh":
+                last_strh_type[0] = payload[off:off + 4]
+            elif cid == b"strf" and last_strh_type[0] == b"vids" and not geom:
+                if sz < 20:
+                    raise ValueError("strf shorter than BITMAPINFOHEADER")
+                geom["w"] = int.from_bytes(
+                    payload[off + 4:off + 8], "little", signed=True)
+                geom["h"] = abs(int.from_bytes(
+                    payload[off + 8:off + 12], "little", signed=True))
+                geom["bits"] = int.from_bytes(
+                    payload[off + 14:off + 16], "little")
+                geom["comp"] = int.from_bytes(
+                    payload[off + 16:off + 20], "little")
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append((off, sz))
+
+    walk(12, len(payload))
+    if not geom:
+        raise ValueError("no video stream (strh 'vids' + strf) found")
+    if geom["comp"] != 0 or geom["bits"] not in (8, 24):
+        raise ValueError(
+            f"unsupported AVI: compression={geom['comp']} "
+            f"bits={geom['bits']} (only uncompressed BI_RGB 8/24-bit)")
+    if not frames:
+        raise ValueError("no movi frame chunks found")
+    for off, sz in frames:
+        yield off, sz, geom["w"], geom["h"], geom["bits"]
+
+
+def _decode_video_avi(payload: bytes, dim: int = 8) -> list:
+    """REAL dependency-free decode for uncompressed RIFF/AVI video
+    (BI_RGB DIB frames, 24-bit BGR or 8-bit grayscale). Per-frame mean
+    luminance by the same ITU-R 601-2 integer formula as the PPM kernel
+    ((299R+587G+114B)//1000); DIB rows are 4-byte aligned and bottom-up,
+    but a full-frame MEAN is row-order invariant, so only the stride
+    padding needs handling. Features = per-TIME-band mean luma via
+    _band_frame_means. Raises on malformed payloads — _decode_media
+    catches and falls back to the stub."""
+    means = []
+    for off, sz, w, h, bits in _avi_frames(payload):
+        bpp = bits // 8
+        stride = (w * bpp + 3) & ~3
+        if sz < stride * h:
+            raise ValueError(
+                f"AVI frame chunk {sz} bytes < {stride}x{h} DIB raster")
+        total = 0
+        for y in range(h):
+            row = payload[off + y * stride:off + y * stride + w * bpp]
+            if bpp == 1:
+                total += sum(row)
+            else:  # BGR byte order
+                total += sum(
+                    (299 * row[3 * x + 2] + 587 * row[3 * x + 1]
+                     + 114 * row[3 * x]) // 1000
+                    for x in range(w))
+        means.append(total / (w * h))
+    return _band_frame_means(means, dim)
+
+
+def _decode_video(payload: bytes, dim: int = 8) -> list:
+    """Video kernel dispatch by magic: YUV4MPEG2 → Y4M parse, RIFF/AVI →
+    uncompressed-DIB parse, anything else raises (→ stub fallback)."""
+    if payload.startswith(b"YUV4MPEG2"):
+        return _decode_video_y4m(payload, dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_video_avi(payload, dim)
+    raise ValueError("unrecognized video container")
+
+
+def video_frame_count(payload: bytes) -> int:
+    """REAL frame count for Y4M / uncompressed-AVI payloads (header +
+    chunk walk only — the luma bytes are never touched), used by
+    frame_sample_plan(use_payload_frames=True). Raises on unrecognized
+    or malformed containers."""
+    if payload.startswith(b"YUV4MPEG2"):
+        return sum(1 for _ in _y4m_frames(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return sum(1 for _ in _avi_frames(payload))
+    raise ValueError("unrecognized video container")
+
+
 def _decode_image(payload: bytes, dim: int = 8) -> list:
     if _HAS_PIL:
         return _decode_image_pil(payload, dim)
@@ -230,15 +421,21 @@ def _decode_image(payload: bytes, dim: int = 8) -> list:
 
 def _decode_media(kind: str, payload: bytes, dim: int = 8) -> list:
     """Per-kind kernel dispatch inside the batch UDF: image → PIL/PPM,
-    audio → WAV PCM when the payload is RIFF/WAVE, video and everything
-    unrecognized → the deterministic stub. All kernels share the
-    fixed-dim [-1, 1) feature contract, so downstream schema/partitioning
-    never depends on which kernel ran."""
+    audio → WAV PCM when the payload is RIFF/WAVE, video → Y4M or
+    uncompressed-AVI when the magic matches, everything unrecognized or
+    malformed → the deterministic stub. All kernels share the fixed-dim
+    [-1, 1) feature contract, so downstream schema/partitioning never
+    depends on which kernel ran."""
     if kind == "image":
         return _decode_image(payload, dim)
     if kind == "audio" and payload[:4] == b"RIFF":
         try:
             return _decode_audio_wav(payload, dim)
+        except Exception:
+            return _decode_image_stub(payload, dim)
+    if kind == "video":
+        try:
+            return _decode_video(payload, dim)
         except Exception:
             return _decode_image_stub(payload, dim)
     return _decode_image_stub(payload, dim)
@@ -286,15 +483,50 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     return df
 
 
-def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Video frame-sampling *plan*: explode timestamps to sample
-    (decode stubbed). Shows the fan-out shape: one row per (video,
-    frame_ts), partition-preserving."""
-    return media.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0),
-                       F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                       F.lit(every_ms))
-        ).alias("frame_ts"),
+def frame_sample_plan(media: DataFrame, every_ms: int = 500,
+                      use_payload_frames: bool = False,
+                      every_n_frames: int = 1) -> DataFrame:
+    """Video frame-sampling fan-out: one row per (video, frame index /
+    timestamp), partition-preserving.
+
+    Default (metadata path): explode timestamps 0..duration_ms at
+    every_ms — pure column expressions, no payload reads.
+
+    use_payload_frames=True: count REAL frames by parsing each payload's
+    container headers (Y4M frame walk / AVI chunk walk via
+    video_frame_count — luma bytes never touched) inside an
+    Arrow-batched pandas UDF, then explode frame indices
+    0..n_frames-1 step every_n_frames. Unparseable payloads count 0
+    frames and fan out to zero rows (same row-wise tolerance as the
+    decode kernels)."""
+    vids = media.filter(F.col("kind") == "video")
+    if not use_payload_frames:
+        return vids.select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0),
+                           F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                           F.lit(every_ms))
+            ).alias("frame_ts"),
+        )
+
+    @F.pandas_udf(IntegerType())
+    def n_frames(content: pd.Series) -> pd.Series:
+        def count(b):
+            try:
+                return video_frame_count(bytes(b))
+            except Exception:
+                return 0
+        return content.map(count).astype("int32")
+
+    return (
+        vids.select("media_id", n_frames(F.col("content")).alias("nf"))
+        .filter(F.col("nf") > 0)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("nf") - 1,
+                           F.lit(every_n_frames))
+            ).alias("frame_idx"),
+        )
     )

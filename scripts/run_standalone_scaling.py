@@ -19,7 +19,25 @@ Legs are INTERLEAVED (N, 4N, N, 4N, …) and each level reports its best
 trial (sandbox host shows multi-x background-load variance). Event logs
 per leg give job counts + GC time for the BENCH/BASELINE.md table.
 
-Usage: python scripts/run_standalone_scaling.py [n_convs] [n_trials]
+Load-aware admission protocol (r6, closing the pairwise-median target):
+the r5 record proved identical code+input swings pair efficiency
+0.52→0.89 with ambient neighbor load on this shared memory bus (probe
+trace committed in STANDALONE_RUN_r5a/b.json). So each PAIR is now
+admitted only when the streaming-bandwidth probe clears
+KGPIPE_ADMIT_GBPS (default 2.0 GB/s — the threshold the r5 verdict
+named): before a pair starts, the harness samples the probe every 15 s
+up to KGPIPE_ADMIT_WAIT_S (default 300 s), recording every sample; if
+the window never opens the pair runs anyway, flagged admitted=false.
+A pair whose legs then STILL ran dirty (either leg's pre-leg probe
+below threshold — recorded before the leg's result exists, so the
+rule can't cherry-pick outcomes) is re-run once, budget
+KGPIPE_MAX_RERUNS (default 2) per invocation; every attempt is
+committed to the JSON, none dropped. The headline median is over the
+final attempt of every pair (nothing excluded); the admitted-only
+median and the probe-vs-efficiency correlation over ALL attempts are
+reported alongside as the quantitative load attribution.
+
+Usage: python scripts/run_standalone_scaling.py [n_convs] [n_trials] [out_name]
 """
 
 import json
@@ -111,12 +129,15 @@ def load_probe_gbps(n_mb: int = 256) -> float:
     return round(n_mb / 1024.0 / dt, 2)
 
 
-def run_leg(cores_max: int, trial: int) -> dict:
-    probe = load_probe_gbps()
-    loadavg = round(os.getloadavg()[0], 2)
+def run_leg(cores_max: int, trial) -> dict:
     ev_dir = f"{EV_ROOT}/c{cores_max}_t{trial}"
     last_err = None
     for attempt in range(2):  # one retry: a leg can die to transient
+        # sample the load disclosure INSIDE the attempt loop so a
+        # retried leg's recorded probe/loadavg reflect the attempt that
+        # actually produced the result, not a stale pre-failure window
+        probe = load_probe_gbps()
+        loadavg = round(os.getloadavg()[0], 2)
         # fresh eventlog dir per attempt: a failed first attempt would
         # otherwise leave a truncated app-* log that eventlog_stats
         # could pick over the good retry's log
@@ -163,66 +184,147 @@ def eventlog_stats(ev_dir: str) -> dict:
     return summarize(str(max(files, key=lambda p: p.stat().st_mtime)))
 
 
+ADMIT_GBPS = float(os.environ.get("KGPIPE_ADMIT_GBPS", "2.0"))
+ADMIT_WAIT_S = int(os.environ.get("KGPIPE_ADMIT_WAIT_S", "300"))
+MAX_RERUNS = int(os.environ.get("KGPIPE_MAX_RERUNS", "2"))
+
+
+def wait_for_window(pair_idx: int) -> dict:
+    """Block until the bandwidth probe clears ADMIT_GBPS (sampling every
+    15 s, up to ADMIT_WAIT_S), recording every sample. Returns the
+    admission record; `admitted` is False when the window never opened
+    (the pair still runs — flagged, never dropped)."""
+    samples = []
+    t0 = time.time()
+    while True:
+        p = load_probe_gbps()
+        samples.append(p)
+        if p >= ADMIT_GBPS:
+            return {"pair": pair_idx, "admitted": True, "samples": samples,
+                    "waited_s": round(time.time() - t0, 1)}
+        if time.time() - t0 >= ADMIT_WAIT_S:
+            print(f"pair {pair_idx}: admission window never opened "
+                  f"({samples[-1]} < {ADMIT_GBPS} GB/s after "
+                  f"{ADMIT_WAIT_S}s) — running flagged", flush=True)
+            return {"pair": pair_idx, "admitted": False, "samples": samples,
+                    "waited_s": round(time.time() - t0, 1)}
+        time.sleep(15)
+
+
+def run_pair(pair_idx: int, legs, attempt: int) -> dict:
+    """One (N leg, 4N leg) pair, with the admission gate in front."""
+    adm = wait_for_window(pair_idx)
+    a = run_leg(legs[0], f"{pair_idx}a{attempt}")
+    b = run_leg(legs[1], f"{pair_idx}a{attempt}")
+    # clean = BOTH legs' pre-leg probes cleared the threshold; recorded
+    # before each leg's result existed, so this can't cherry-pick
+    clean = (a["probe_gbps_before"] >= ADMIT_GBPS
+             and b["probe_gbps_before"] >= ADMIT_GBPS)
+    return {
+        "pair": pair_idx, "attempt": attempt, "admission": adm,
+        "clean": clean, "N": a, "4N": b,
+        "efficiency": round(
+            (b["turns_per_sec"] / a["turns_per_sec"]) / 4.0, 3),
+    }
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    if n < 3:
+        return None
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    if sxx == 0 or syy == 0:
+        return None
+    return round(sxy / (sxx * syy) ** 0.5, 3)
+
+
 def main():
+    out_name = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+        "KGPIPE_SCALING_OUT", "STANDALONE_RUN.json")
     if not os.path.exists("/tmp/kgs/transcripts"):
         subprocess.run([sys.executable, str(REPO / "scripts/gen_input.py"),
                         str(N_CONVS)], check=True)
     build_pyzip()
     shutil.rmtree(EV_ROOT, ignore_errors=True)
     start_cluster()
+    load_probe_gbps()  # discard: first call pays numpy/page-in warmup
     legs = (EXEC_CORES, 4 * EXEC_CORES)
-    trials = {legs[0]: [], legs[1]: []}
+    attempts = []   # EVERY pair run, including re-runs — none dropped
+    final = []      # the attempt that counts for each pair (last run)
+    reruns_left = MAX_RERUNS
     try:
         for i in range(N_TRIALS):
-            for cores in legs:
-                r = run_leg(cores, i)
-                trials[cores].append(r)
-                print(f"trial {i} cores.max={cores} "
-                      f"({r['executors']} executors):", r, flush=True)
+            p = run_pair(i, legs, attempt=0)
+            attempts.append(p)
+            print(f"pair {i} attempt 0: eff={p['efficiency']} "
+                  f"clean={p['clean']} probes="
+                  f"[{p['N']['probe_gbps_before']}, "
+                  f"{p['4N']['probe_gbps_before']}]", flush=True)
+            if not p["clean"] and reruns_left > 0:
+                reruns_left -= 1
+                p = run_pair(i, legs, attempt=1)
+                attempts.append(p)
+                print(f"pair {i} attempt 1 (re-run): eff={p['efficiency']} "
+                      f"clean={p['clean']}", flush=True)
+            final.append(p)
     finally:
         stop_cluster()
 
-    r1 = max(trials[legs[0]], key=lambda r: r["turns_per_sec"])
-    r4 = max(trials[legs[1]], key=lambda r: r["turns_per_sec"])
-    eff = (r4["turns_per_sec"] / r1["turns_per_sec"]) / 4.0
-    # per-pair efficiencies: trial i's N leg against trial i's 4N leg —
-    # the two legs of a pair run back-to-back, so each ratio sees
-    # (nearly) the same ambient load; the median over pairs is the
-    # robust one-invocation number next to best-per-level
-    pair_effs = [
-        round((b["turns_per_sec"] / a["turns_per_sec"]) / 4.0, 3)
-        for a, b in zip(trials[legs[0]], trials[legs[1]])
-    ]
     import statistics
 
-    s1, s4 = eventlog_stats(r1["ev_dir"]), eventlog_stats(r4["ev_dir"])
+    n_best = max((p["N"] for p in final), key=lambda r: r["turns_per_sec"])
+    f_best = max((p["4N"] for p in final), key=lambda r: r["turns_per_sec"])
+    eff_best = (f_best["turns_per_sec"] / n_best["turns_per_sec"]) / 4.0
+    pair_effs = [p["efficiency"] for p in final]
+    clean_effs = [p["efficiency"] for p in final if p["clean"]]
+    # quantitative load attribution: over ALL attempts (re-runs
+    # included), does the dirtier leg window predict lower efficiency?
+    corr = _pearson(
+        [min(p["N"]["probe_gbps_before"], p["4N"]["probe_gbps_before"])
+         for p in attempts],
+        [p["efficiency"] for p in attempts])
+
+    s1, s4 = eventlog_stats(n_best["ev_dir"]), eventlog_stats(f_best["ev_dir"])
     result = {
-        "n_executors": {"N": r1["executors"], "4N": r4["executors"]},
-        "turns": r1["turns"],
-        "best": {"N": r1, "4N": r4},
-        "all_seconds": {"N": [t["seconds"] for t in trials[legs[0]]],
-                        "4N": [t["seconds"] for t in trials[legs[1]]]},
+        "n_executors": {"N": n_best["executors"], "4N": f_best["executors"]},
+        "turns": n_best["turns"],
+        "best": {"N": n_best, "4N": f_best},
+        "all_seconds": {"N": [p["N"]["seconds"] for p in final],
+                        "4N": [p["4N"]["seconds"] for p in final]},
         "eventlog": {"N": s1, "4N": s4},
-        "efficiency_N_to_4N": round(eff, 3),
+        "efficiency_N_to_4N": round(eff_best, 3),
         "efficiency_per_pair": pair_effs,
         "efficiency_median_pair": round(statistics.median(pair_effs), 3)
         if pair_effs else None,
+        # admission protocol (documented in the module docstring): the
+        # pairs whose BOTH legs started in a >= threshold window
+        "admission_rule_gbps": ADMIT_GBPS,
+        "efficiency_per_clean_pair": clean_effs,
+        "efficiency_median_clean": round(statistics.median(clean_effs), 3)
+        if clean_effs else None,
+        "probe_vs_efficiency_pearson": corr,
+        "reruns_used": MAX_RERUNS - reruns_left,
+        # full trace: every attempt incl. re-runs and admission waits
+        "attempts": attempts,
         # in-band host-load disclosure: bandwidth probe + 1-min loadavg
         # taken immediately before each leg (pairs under a probe dip /
         # loadavg spike ran against neighbor load; see bench.py)
         "pair_probes_gbps": [
-            [a.get("probe_gbps_before"), b.get("probe_gbps_before")]
-            for a, b in zip(trials[legs[0]], trials[legs[1]])
+            [p["N"]["probe_gbps_before"], p["4N"]["probe_gbps_before"]]
+            for p in final
         ],
         "pair_loadavg_1m": [
-            [a.get("loadavg_1m_before"), b.get("loadavg_1m_before")]
-            for a, b in zip(trials[legs[0]], trials[legs[1]])
+            [p["N"]["loadavg_1m_before"], p["4N"]["loadavg_1m_before"]]
+            for p in final
         ],
     }
     print(json.dumps(result, indent=2))
     # BENCH/STANDALONE.json holds the curated multi-trial record;
     # each automated run writes its own file
-    with open(REPO / "BENCH" / "STANDALONE_RUN.json", "w") as f:
+    with open(REPO / "BENCH" / out_name, "w") as f:
         json.dump(result, f, indent=2)
 
 

@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgpipe.dedup import (
@@ -345,9 +346,10 @@ def test_ivf_train_balances_cells_and_lifts_recall(spark):
 def test_decode_backend_flag(spark):
     """The multimodal decode kernel is an optional import: this
     container has no Pillow, so the recorded backend must be
-    'ppm+wav+stub' (real dependency-free PPM/PGM and WAV/PCM decodes,
-    stub for other formats; an environment with PIL flips the image
-    kernel to 'pil+wav' without plan changes)."""
+    'ppm+wav+y4m-avi+stub' (real dependency-free PPM/PGM, WAV/PCM and
+    Y4M/uncompressed-AVI decodes, stub for other formats; an environment
+    with PIL flips the image kernel to 'pil+wav+y4m-avi' without plan
+    changes)."""
     from kgpipe import multimodal
 
     try:
@@ -357,7 +359,7 @@ def test_decode_backend_flag(spark):
     except ImportError:
         has_pil = False
     assert multimodal.decode_backend() == (
-        "pil+wav" if has_pil else "ppm+wav+stub")
+        "pil+wav+y4m-avi" if has_pil else "ppm+wav+y4m-avi+stub")
     if not has_pil:
         # stub path: features are the documented digest-fold fake
         media = synthetic_media(spark, n=3)
@@ -411,6 +413,150 @@ def test_ppm_decode_known_luminance(spark):
         out[1], multimodal._decode_image_stub(b"not-an-image", 8)))
 
 
+def _y4m(frames: list, w: int, h: int, cs: str = "mono") -> bytes:
+    """Minimal YUV4MPEG2 stream: each frame is a list of Y-plane bytes
+    (chroma planes, when the colourspace has them, are zero-filled —
+    the kernel never reads them)."""
+    from kgpipe.multimodal import _Y4M_BPP
+
+    pad = int(w * h * _Y4M_BPP[cs]) - w * h
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode()
+    return head + b"".join(
+        b"FRAME\n" + bytes(f) + bytes(pad) for f in frames)
+
+
+def _avi(frames: list, w: int, h: int, bits: int = 24) -> bytes:
+    """Minimal uncompressed RIFF/AVI: hdrl (avih + strl(strh 'vids' +
+    strf BITMAPINFOHEADER BI_RGB)) + movi with one '00db' DIB chunk per
+    frame. Each frame is a list of rows, each row a list of pixel byte
+    tuples (B,G,R) for 24-bit or single ints for 8-bit; rows are given
+    TOP-down here and written bottom-up with 4-byte stride padding, as
+    DIB requires."""
+    import struct as _s
+
+    def chunk(cid, body):
+        return cid + _s.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    bpp = bits // 8
+    stride = (w * bpp + 3) & ~3
+    avih = _s.pack("<IIIIIIIIIIIIII", 40000, 0, 0, 0, len(frames), 0, 1,
+                   0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + _s.pack("<IHHIIIIIIIII4H", 0, 0, 0, 0, 1,
+                                       25, 0, len(frames), 0, 0, 0, 0,
+                                       0, 0, w, h)
+    strf = _s.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0, stride * h,
+                   0, 0, 0, 0)
+    movi_frames = b""
+    for f in frames:
+        raster = b""
+        for row in reversed(f):  # DIB rows are bottom-up
+            if bits == 24:
+                rb = b"".join(bytes(px) for px in row)
+            else:
+                rb = bytes(row)
+            raster += rb + bytes(stride - len(rb))
+        movi_frames += chunk(b"00db", raster)
+    body = (lst(b"hdrl", chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", movi_frames))
+    return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_video_decode_known_luminance(spark):
+    """The dependency-free Y4M and uncompressed-AVI kernels are REAL
+    decodes, verified against hand-computed per-frame mean luminance —
+    video joins image (PPM) and audio (WAV) as an in-container-verified
+    media kind; no kind silently hash-stubs anymore. Contract:
+    per-TIME-band mean luma, mean/128 − 1 (shared with the image
+    kernel)."""
+    from kgpipe import multimodal
+
+    # Y4M mono 4x2, 2 frames: all-128 → 0.0, all-0 → −1.0
+    clip = _y4m([[128] * 8, [0] * 8], w=4, h=2)
+    assert multimodal._decode_video_y4m(clip, dim=2) == [0.0, -1.0]
+    # kernel dispatch by magic hits the same path
+    assert multimodal._decode_video(clip, dim=2) == [0.0, -1.0]
+
+    # C420 chroma is skipped, not decoded: Y=64 everywhere → −0.5
+    c420 = _y4m([[64] * 4], w=2, h=2, cs="420")
+    assert multimodal._decode_video_y4m(c420, dim=1) == [-0.5]
+
+    # 4 frames into 2 bands: band mean of per-frame means
+    clip4 = _y4m([[0] * 8, [64] * 8, [128] * 8, [192] * 8], w=4, h=2)
+    assert multimodal._decode_video_y4m(clip4, dim=2) == [
+        (0 + 64) / 2 / 128.0 - 1.0, (128 + 192) / 2 / 128.0 - 1.0]
+
+    # AVI 24-bit BGR 2x1, 2 frames: white → 255 → 0.9921875, black → −1
+    # (B=G=R=v → ITU 601-2 luminance == v exactly, like the PPM test)
+    white = [[(255, 255, 255), (255, 255, 255)]]
+    black = [[(0, 0, 0), (0, 0, 0)]]
+    avi = _avi([white, black], w=2, h=1)
+    assert multimodal._decode_video_avi(avi, dim=2) == \
+        [255 / 128.0 - 1.0, -1.0]
+    assert multimodal._decode_video(avi, dim=2) == \
+        [255 / 128.0 - 1.0, -1.0]
+
+    # AVI 8-bit grayscale with stride padding (w=3 → stride 4): the pad
+    # byte must NOT leak into the mean
+    g = _avi([[[30, 60, 90]]], w=3, h=1, bits=8)
+    assert multimodal._decode_video_avi(g, dim=1) == [60 / 128.0 - 1.0]
+
+    # malformed payloads fall back to the stub row-wise, never decode
+    # truncated bytes: chopped Y4M frame, lying RIFF chunk size,
+    # unknown container
+    for bad in (clip[:-4], avi[:-4], b"mpeg?"):
+        assert multimodal._decode_media("video", bad, 8) == \
+            multimodal._decode_image_stub(bad, 8)
+
+    # end-to-end through the Arrow-batched plan: real video decode and
+    # stub fallback in the same batch (per-kind dispatch)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(clip), None, None, None, None),
+         (1, "video", bytearray(b"mpeg?"), None, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: list(r["feature"])
+           for r in extract_features(media, dim=2).collect()}
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out[0], [0.0, -1.0]))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(
+        out[1], multimodal._decode_image_stub(b"mpeg?", 2)))
+
+
+def test_frame_sample_plan_real_counts(spark):
+    """frame_sample_plan(use_payload_frames=True) fans out one row per
+    REAL container frame (header/chunk walk via video_frame_count, luma
+    untouched), not per metadata-declared timestamp; unparseable
+    payloads fan out to zero rows."""
+    from kgpipe import multimodal
+
+    clip3 = _y4m([[0] * 8] * 3, w=4, h=2)          # 3 frames
+    avi2 = _avi([[[(9, 9, 9)]]] * 2, w=1, h=1)      # 2 frames
+    assert multimodal.video_frame_count(clip3) == 3
+    assert multimodal.video_frame_count(avi2) == 2
+
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(clip3), None, None, None, 9999),
+         (1, "video", bytearray(avi2), None, None, None, 9999),
+         (2, "video", bytearray(b"mpeg?"), None, None, None, 9999),
+         (3, "image", bytearray(b"P5 1 1 255\n\x00"), None, None, None, 0)],
+        schema=multimodal.MEDIA_SCHEMA)
+    rows = frame_sample_plan(media, use_payload_frames=True).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert got == {0: [0, 1, 2], 1: [0, 1]}  # no unparseable, no image
+
+    # stride: every 2nd frame
+    rows = frame_sample_plan(media, use_payload_frames=True,
+                             every_n_frames=2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert got == {0: [0, 2], 1: [0]}
+
+
 def _wav(samples_bytes: bytes, n_ch: int = 1, bits: int = 16,
          rate: int = 8000) -> bytes:
     """Minimal valid RIFF/WAVE container around a raw PCM data chunk."""
@@ -453,6 +599,15 @@ def test_wav_decode_known_rms(spark):
     bad = _wav(b"")
     assert multimodal._decode_media("audio", bad, 8) == \
         multimodal._decode_image_stub(bad, 8)
+
+    # a chunk whose DECLARED size exceeds the actual payload must raise
+    # (→ stub), never silently decode the truncated bytes into
+    # real-looking features: chop the last 4 bytes off a valid file
+    lying = _wav(pcm16)[:-4]
+    with pytest.raises(ValueError, match="truncated RIFF chunk"):
+        multimodal._decode_audio_wav(lying, dim=2)
+    assert multimodal._decode_media("audio", lying, 8) == \
+        multimodal._decode_image_stub(lying, 8)
 
     # end-to-end through the Arrow-batched plan: an audio WAV row gets
     # the real decode, an image PGM row the image kernel, a video row
@@ -507,7 +662,7 @@ def test_pil_kernel_glue_via_fake(spark, monkeypatch):
 
     monkeypatch.setattr(multimodal, "_PILImage", _FakePIL)
     monkeypatch.setattr(multimodal, "_HAS_PIL", True)
-    assert multimodal.decode_backend() == "pil+wav"
+    assert multimodal.decode_backend() == "pil+wav+y4m-avi"
 
     payload = b"OKIMG" + bytes([0, 64, 128, 192, 255, 16, 32, 48, 99])
     feats = multimodal._decode_image(payload, dim=8)
