@@ -28,6 +28,10 @@ KGPIPE_ADMIT_GBPS (default 2.0 GB/s — the threshold the r5 verdict
 named): before a pair starts, the harness samples the probe every 15 s
 up to KGPIPE_ADMIT_WAIT_S (default 300 s), recording every sample; if
 the window never opens the pair runs anyway, flagged admitted=false.
+The probe alone proved blind to CPU-bound neighbor load (2026-08-17:
+probe 8-10 GB/s while loadavg_1m sat at 28-32), so admission ALSO
+requires loadavg_1m <= KGPIPE_ADMIT_LOAD (default 6.0) — which doubles
+as a cool-down for the previous pair's own decaying run-queue load.
 A pair whose legs then STILL ran dirty (either leg's pre-leg probe
 below threshold — recorded before the leg's result exists, so the
 rule can't cherry-pick outcomes) is re-run once, budget
@@ -185,27 +189,45 @@ def eventlog_stats(ev_dir: str) -> dict:
 
 
 ADMIT_GBPS = float(os.environ.get("KGPIPE_ADMIT_GBPS", "2.0"))
+# r6 addition: the bandwidth probe alone misses CPU-bound neighbor load
+# (measured 2026-08-17: probe held 8-10 GB/s while loadavg_1m sat at
+# 28-32 — see BENCH/STANDALONE_RUN_r6_8to32.json pair_loadavg_1m), so
+# admission also requires a quiet run queue. The loadavg gate doubles
+# as a cool-down: the previous pair's own decaying load must drain
+# before the next pair is admitted.
+ADMIT_LOAD = float(os.environ.get("KGPIPE_ADMIT_LOAD", "6.0"))
 ADMIT_WAIT_S = int(os.environ.get("KGPIPE_ADMIT_WAIT_S", "300"))
 MAX_RERUNS = int(os.environ.get("KGPIPE_MAX_RERUNS", "2"))
 
 
+def _leg_clean(leg: dict) -> bool:
+    """A leg ran clean when its pre-leg window met BOTH admission
+    criteria — recorded before the leg's result existed, so the rule
+    cannot cherry-pick outcomes."""
+    return (leg["probe_gbps_before"] >= ADMIT_GBPS
+            and leg["loadavg_1m_before"] <= ADMIT_LOAD)
+
+
 def wait_for_window(pair_idx: int) -> dict:
-    """Block until the bandwidth probe clears ADMIT_GBPS (sampling every
-    15 s, up to ADMIT_WAIT_S), recording every sample. Returns the
-    admission record; `admitted` is False when the window never opened
-    (the pair still runs — flagged, never dropped)."""
+    """Block until the bandwidth probe clears ADMIT_GBPS AND loadavg_1m
+    is at most ADMIT_LOAD (sampling every 15 s, up to ADMIT_WAIT_S),
+    recording every sample. Returns the admission record; `admitted` is
+    False when the window never opened (the pair still runs — flagged,
+    never dropped)."""
     samples = []
     t0 = time.time()
     while True:
         p = load_probe_gbps()
-        samples.append(p)
-        if p >= ADMIT_GBPS:
+        la = round(os.getloadavg()[0], 2)
+        samples.append({"gbps": p, "load_1m": la})
+        if p >= ADMIT_GBPS and la <= ADMIT_LOAD:
             return {"pair": pair_idx, "admitted": True, "samples": samples,
                     "waited_s": round(time.time() - t0, 1)}
         if time.time() - t0 >= ADMIT_WAIT_S:
             print(f"pair {pair_idx}: admission window never opened "
-                  f"({samples[-1]} < {ADMIT_GBPS} GB/s after "
-                  f"{ADMIT_WAIT_S}s) — running flagged", flush=True)
+                  f"(probe {p} GB/s vs >= {ADMIT_GBPS}, load {la} vs "
+                  f"<= {ADMIT_LOAD} after {ADMIT_WAIT_S}s) — running "
+                  f"flagged", flush=True)
             return {"pair": pair_idx, "admitted": False, "samples": samples,
                     "waited_s": round(time.time() - t0, 1)}
         time.sleep(15)
@@ -216,10 +238,10 @@ def run_pair(pair_idx: int, legs, attempt: int) -> dict:
     adm = wait_for_window(pair_idx)
     a = run_leg(legs[0], f"{pair_idx}a{attempt}")
     b = run_leg(legs[1], f"{pair_idx}a{attempt}")
-    # clean = BOTH legs' pre-leg probes cleared the threshold; recorded
-    # before each leg's result existed, so this can't cherry-pick
-    clean = (a["probe_gbps_before"] >= ADMIT_GBPS
-             and b["probe_gbps_before"] >= ADMIT_GBPS)
+    # clean = BOTH legs' pre-leg windows met the admission criteria
+    # (probe AND loadavg); recorded before each leg's result existed,
+    # so this can't cherry-pick
+    clean = _leg_clean(a) and _leg_clean(b)
     return {
         "pair": pair_idx, "attempt": attempt, "admission": adm,
         "clean": clean, "N": a, "4N": b,
@@ -302,6 +324,8 @@ def main():
         # admission protocol (documented in the module docstring): the
         # pairs whose BOTH legs started in a >= threshold window
         "admission_rule_gbps": ADMIT_GBPS,
+        "admission_rule_load_1m": ADMIT_LOAD,
+        "shuffle_partitions": os.environ.get("KGPIPE_SHUFFLE_PARTS"),
         "efficiency_per_clean_pair": clean_effs,
         "efficiency_median_clean": round(statistics.median(clean_effs), 3)
         if clean_effs else None,

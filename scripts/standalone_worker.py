@@ -56,6 +56,10 @@ if ev_dir:
                   "spark.eventLog.rolling.enabled": "false"})
 
 os.environ.setdefault("KGPIPE_DRIVER_MEM", "4g")  # constant across legs
+# Default scales shuffle width with cores, which gives the two legs
+# DIFFERENT physical plans (8 vs 16 partitions at 2->8 cores). For a
+# constant-plan scaling experiment set KGPIPE_SHUFFLE_PARTS explicitly
+# (the r6 protocol pins 16 = the 4N leg's natural width on both legs).
 shuffle_parts = int(os.environ.get("KGPIPE_SHUFFLE_PARTS",
                                    max(8, 2 * cores_max)))
 spark = get_spark(f"standalone-{cores_max}",
