@@ -81,7 +81,11 @@ spark.stop()
 
     from eventlog_summary import summarize
 
-    logs = [p for p in Path(EV_DIR).iterdir() if p.is_file()]
+    # Spark may write the log as a single file or, with rolling enabled
+    # (the eventlog-v2 layout), as a directory of events_* part files —
+    # accept both
+    logs = [p for p in Path(EV_DIR).rglob("*")
+            if p.is_file() and not p.name.startswith("appstatus")]
     stage_summary = summarize(str(max(logs, key=lambda p: p.stat().st_mtime))) \
         if logs else {}
 
