@@ -350,6 +350,12 @@ def _avi_frames(payload: bytes):
         raise ValueError(
             f"unsupported AVI: compression={geom['comp']} "
             f"bits={geom['bits']} (only uncompressed BI_RGB 8/24-bit)")
+    # biWidth is signed and MUST be positive (only biHeight may be
+    # negative, for top-down DIBs — abs()'d above); a corrupt header
+    # with w <= 0 would slice empty rows and emit fake all -1.0
+    # features instead of raising into the stub fallback
+    if geom["w"] <= 0 or geom["h"] <= 0:
+        raise ValueError(f"bad AVI geometry {geom['w']}x{geom['h']}")
     if not frames:
         raise ValueError("no movi frame chunks found")
     for off, sz in frames:

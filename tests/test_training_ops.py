@@ -506,8 +506,11 @@ def test_video_decode_known_luminance(spark):
 
     # malformed payloads fall back to the stub row-wise, never decode
     # truncated bytes: chopped Y4M frame, lying RIFF chunk size,
-    # unknown container
-    for bad in (clip[:-4], avi[:-4], b"mpeg?"):
+    # unknown container, corrupt BITMAPINFOHEADER geometry (biWidth is
+    # signed; w <= 0 must raise, not slice empty rows into fake -1.0s)
+    i = avi.index(b"strf") + 12  # strf body: biSize(4) then biWidth
+    neg_w = avi[:i] + (-2).to_bytes(4, "little", signed=True) + avi[i + 4:]
+    for bad in (clip[:-4], avi[:-4], b"mpeg?", neg_w):
         assert multimodal._decode_media("video", bad, 8) == \
             multimodal._decode_image_stub(bad, 8)
 
