@@ -102,7 +102,18 @@ def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
         obs = Observation()
         dims["surfaces_df"] = dims["surfaces_df"].observe(
             obs, F.count(F.lit(1)).alias("n"))
-        dims = {k: v.localCheckpoint(eager=True) for k, v in dims.items()}
+        # The dims are mutually independent, so their eager-checkpoint
+        # jobs can run concurrently: serially each job pays the full
+        # driver schedule/plan latency (~0.3 s/job — the dominant term
+        # of the pipeline's constant serial gap, BENCH/LOCAL_sf1_r6),
+        # measured 3.8 s → ~1.3 s at sf0.1. Spark job submission is
+        # thread-safe; local scheduler interleaves the tiny dim stages.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(dims)) as pool:
+            futures = {k: pool.submit(v.localCheckpoint, True)
+                       for k, v in dims.items()}
+            dims = {k: f.result() for k, f in futures.items()}
         dims["surfaces_broadcastable"] = (
             (obs.get["n"] or 0) <= BROADCAST_MAX_SURFACES)
     return dims
