@@ -84,6 +84,19 @@ def load_probe_gbps(n_mb: int = 256) -> float:
     return round(n_mb / 1024.0 / dt, 2)
 
 
+def cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line —
+    same in-window interference signal the scaling harness records:
+    steal accrues only when the hypervisor runs a NEIGHBOR instead of
+    this VM, so unlike the probe/loadavg point samples it integrates
+    interference across a pass's own wall window and is not confounded
+    by the pass's own CPU load."""
+    fields = open("/proc/stat").readline().split()[1:]
+    vals = [int(x) for x in fields]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -100,8 +113,10 @@ def main():
     probes: list[float] = []
     rows: dict[str, int] = {}
     t_all = time.time()
+    steal_pcts: list[float] = []
     for trial in range(N_TRIALS):
         probes.append(load_probe_gbps())
+        steal0, total0 = cpu_jiffies()
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -112,8 +127,12 @@ def main():
             # starts from the same executor-memory state as trial 1
             df.unpersist()
             trials[name].append(time.time() - t0)
+        steal1, total1 = cpu_jiffies()
+        steal_pcts.append(round(
+            100.0 * (steal1 - steal0) / max(1, total1 - total0), 2))
         print(f"# pass {trial + 1}/{N_TRIALS} done "
-              f"(probe {probes[-1]} GB/s)", file=sys.stderr)
+              f"(probe {probes[-1]} GB/s, steal {steal_pcts[-1]}%)",
+              file=sys.stderr)
     probes.append(load_probe_gbps())
 
     best = {n: round(min(ts), 3) for n, ts in trials.items()}
@@ -169,6 +188,9 @@ def main():
         "probe_qualified": probe_qualified,
         "trials_per_query": N_TRIALS,
         "load_probe_gbps": probes,
+        # hypervisor steal share over each pass's own wall window (the
+        # in-window complement to the point-in-time probes above)
+        "steal_pct_per_pass": steal_pcts,
         "wall_seconds": wall,
     }))
     spark.stop()

@@ -133,6 +133,19 @@ def load_probe_gbps(n_mb: int = 256) -> float:
     return round(n_mb / 1024.0 / dt, 2)
 
 
+def cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+    Steal accrues when the hypervisor runs a NEIGHBOR instead of this
+    VM — the one in-leg interference signal the pre-leg admission
+    gates cannot see (they sample a point-in-time window; a neighbor
+    that spins up mid-leg is invisible to them and, unlike loadavg,
+    steal is not confounded by this leg's own task load)."""
+    fields = open("/proc/stat").readline().split()[1:]
+    vals = [int(x) for x in fields]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_leg(cores_max: int, trial) -> dict:
     ev_dir = f"{EV_ROOT}/c{cores_max}_t{trial}"
     last_err = None
@@ -142,6 +155,7 @@ def run_leg(cores_max: int, trial) -> dict:
         # actually produced the result, not a stale pre-failure window
         probe = load_probe_gbps()
         loadavg = round(os.getloadavg()[0], 2)
+        steal0, total0 = cpu_jiffies()
         # fresh eventlog dir per attempt: a failed first attempt would
         # otherwise leave a truncated app-* log that eventlog_stats
         # could pick over the good retry's log
@@ -159,6 +173,15 @@ def run_leg(cores_max: int, trial) -> dict:
             r["ev_dir"] = ev_dir
             r["probe_gbps_before"] = probe
             r["loadavg_1m_before"] = loadavg
+            # in-leg interference disclosure: hypervisor steal share
+            # over the leg's own wall window + a post-leg probe. A leg
+            # admitted into a clean window can still be degraded by a
+            # neighbor spinning up mid-leg; these two fields make that
+            # visible in the committed record instead of arguable.
+            steal1, total1 = cpu_jiffies()
+            r["steal_pct_during"] = round(
+                100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
+            r["probe_gbps_after"] = load_probe_gbps()
             if attempt:
                 r["retried"] = True
             return r
@@ -344,6 +367,17 @@ def main():
             [p["N"]["loadavg_1m_before"], p["4N"]["loadavg_1m_before"]]
             for p in final
         ],
+        # in-LEG interference (r6b): hypervisor steal share measured
+        # across each leg's own wall window — the signal the pre-leg
+        # admission gates cannot see (.get: absent in pre-r6b records)
+        "pair_steal_pct": [
+            [p["N"].get("steal_pct_during"), p["4N"].get("steal_pct_during")]
+            for p in final
+        ],
+        "steal_vs_efficiency_pearson": _pearson(
+            [max(p["N"].get("steal_pct_during") or 0,
+                 p["4N"].get("steal_pct_during") or 0) for p in attempts],
+            [p["efficiency"] for p in attempts]),
     }
     print(json.dumps(result, indent=2))
     # BENCH/STANDALONE.json holds the curated multi-trial record;
