@@ -34,6 +34,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from kgpipe.hostload import cpu_jiffies, load_probe_gbps  # noqa: E402
 from kgpipe.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
@@ -68,33 +69,6 @@ N_TRIALS = int(os.environ.get("KGPIPE_BENCH_TRIALS", "5"))
 if os.environ.get("KGPIPE_BENCH_QUERIES"):
     BENCH_QUERIES = [q.strip() for q in
                      os.environ["KGPIPE_BENCH_QUERIES"].split(",") if q.strip()]
-
-
-def load_probe_gbps(n_mb: int = 256) -> float:
-    """Streaming-bandwidth probe: GB/s of a numpy sum over a fixed
-    buffer. On this host the memory bus saturates long before the ALUs
-    (BENCH/BASELINE.md), so probe dips directly flag neighbor load."""
-    import numpy as np
-
-    buf = np.ones(n_mb * 131072, dtype=np.float64)  # n_mb MiB
-    t0 = time.perf_counter()
-    s = float(buf.sum())
-    dt = time.perf_counter() - t0
-    assert s > 0
-    return round(n_mb / 1024.0 / dt, 2)
-
-
-def cpu_jiffies() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat's aggregate cpu line —
-    same in-window interference signal the scaling harness records:
-    steal accrues only when the hypervisor runs a NEIGHBOR instead of
-    this VM, so unlike the probe/loadavg point samples it integrates
-    interference across a pass's own wall window and is not confounded
-    by the pass's own CPU load."""
-    fields = open("/proc/stat").readline().split()[1:]
-    vals = [int(x) for x in fields]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
 
 
 def main():

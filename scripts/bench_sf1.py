@@ -82,12 +82,28 @@ spark.stop()
     from eventlog_summary import summarize
 
     # Spark may write the log as a single file or, with rolling enabled
-    # (the eventlog-v2 layout), as a directory of events_* part files —
-    # accept both
+    # (the eventlog-v2 layout), as a directory of events_N_* part
+    # files. Pick the NEWEST app, then feed summarize() every part of
+    # that app in sequence order — summarizing only the newest part
+    # would silently drop the stages recorded in earlier parts.
     logs = [p for p in Path(EV_DIR).rglob("*")
             if p.is_file() and not p.name.startswith("appstatus")]
-    stage_summary = summarize(str(max(logs, key=lambda p: p.stat().st_mtime))) \
-        if logs else {}
+    stage_summary = {}
+    if logs:
+        newest = max(logs, key=lambda p: p.stat().st_mtime)
+        if newest.name.startswith("events_"):
+            parts = sorted(
+                (p for p in newest.parent.iterdir()
+                 if p.is_file() and p.name.startswith("events_")),
+                key=lambda p: int(p.name.split("_")[1]))
+            import tempfile
+            with tempfile.NamedTemporaryFile(
+                    "wb", suffix=".events", delete=False) as tf:
+                for p in parts:
+                    tf.write(p.read_bytes())
+            stage_summary = summarize(tf.name)
+        else:
+            stage_summary = summarize(str(newest))
 
     result = {
         "metric": "heavy_queries_sf1",

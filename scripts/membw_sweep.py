@@ -61,19 +61,38 @@ def aggregate_gbps(n_threads: int) -> float:
     return round(n_threads * N_MB / 1024.0 / wall, 2)
 
 
+def mem_available_mb() -> int:
+    for line in open("/proc/meminfo"):
+        if line.startswith("MemAvailable:"):
+            return int(line.split()[1]) // 1024
+    return 0
+
+
 def main():
-    result = {"n_mb_per_thread": N_MB, "reps": REPS, "sweep": {}}
+    result = {"n_mb_per_thread": N_MB, "reps": REPS, "sweep": {},
+              "mem_available_mb": mem_available_mb()}
     for t in THREADS:
+        # the T-thread point holds T private buffers resident; if that
+        # exceeds available RAM the "bandwidth" sample would measure
+        # swap, not the bus — skip the point and flag it in the JSON
+        # instead of committing a silently wrong envelope number
+        need = t * N_MB * 2  # x2 headroom over the buffers themselves
+        if need > mem_available_mb():
+            result.setdefault("skipped_insufficient_mem", []).append(t)
+            print(f"threads={t:3d}  SKIPPED (needs ~{need} MiB, "
+                  f"available {mem_available_mb()} MiB)", flush=True)
+            continue
         best = max(aggregate_gbps(t) for _ in range(REPS))
         result["sweep"][str(t)] = best
         print(f"threads={t:3d}  aggregate={best} GB/s", flush=True)
-    base = result["sweep"]["1"]
-    result["scaling_vs_1thread"] = {
-        k: round(v / (base * int(k)), 3) for k, v in result["sweep"].items()}
-    ratio_8_32 = round(result["sweep"]["32"] / result["sweep"]["8"], 3)
-    ratio_2_8 = round(result["sweep"]["8"] / result["sweep"]["2"], 3)
-    result["bw_ratio_8_to_32"] = ratio_8_32   # ideal 4.0 if bus scaled
-    result["bw_ratio_2_to_8"] = ratio_2_8     # ideal 4.0
+    sw = result["sweep"]
+    if "1" in sw:
+        result["scaling_vs_1thread"] = {
+            k: round(v / (sw["1"] * int(k)), 3) for k, v in sw.items()}
+    if "8" in sw and "32" in sw:
+        result["bw_ratio_8_to_32"] = round(sw["32"] / sw["8"], 3)  # ideal 4.0
+    if "2" in sw and "8" in sw:
+        result["bw_ratio_2_to_8"] = round(sw["8"] / sw["2"], 3)    # ideal 4.0
     out = REPO / "BENCH" / "MEMBW_SWEEP.json"
     out.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))

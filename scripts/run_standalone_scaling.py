@@ -55,6 +55,7 @@ import zipfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 80000
 N_TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 EV_ROOT = "/tmp/kgs/eventlogs"
@@ -117,33 +118,9 @@ EXEC_CORES = int(os.environ.get("KGPIPE_EXEC_CORES", "2"))
 EXEC_MEM = os.environ.get("KGPIPE_EXEC_MEM", "2g")
 
 
-def load_probe_gbps(n_mb: int = 256) -> float:
-    """Streaming-bandwidth probe (same as bench.py): GB/s of a numpy
-    sum over a fixed buffer. This host saturates its memory bus before
-    its ALUs (BENCH/BASELINE.md), so a probe dip before a leg is direct
-    evidence of neighbor load during that leg — the disclosure the
-    round-4 verdict asked for, in-band with each pair."""
-    import numpy as np
-
-    buf = np.ones(n_mb * 131072, dtype=np.float64)  # n_mb MiB
-    t0 = time.perf_counter()
-    s = float(buf.sum())
-    dt = time.perf_counter() - t0
-    assert s > 0
-    return round(n_mb / 1024.0 / dt, 2)
-
-
-def cpu_jiffies() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
-    Steal accrues when the hypervisor runs a NEIGHBOR instead of this
-    VM — the one in-leg interference signal the pre-leg admission
-    gates cannot see (they sample a point-in-time window; a neighbor
-    that spins up mid-leg is invisible to them and, unlike loadavg,
-    steal is not confounded by this leg's own task load)."""
-    fields = open("/proc/stat").readline().split()[1:]
-    vals = [int(x) for x in fields]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+# shared with bench.py so the two harnesses' load/steal fields stay
+# numerically comparable (kgpipe/hostload.py has the full rationale)
+from kgpipe.hostload import cpu_jiffies, load_probe_gbps  # noqa: E402
 
 
 def run_leg(cores_max: int, trial) -> dict:
@@ -348,7 +325,18 @@ def main():
         # pairs whose BOTH legs started in a >= threshold window
         "admission_rule_gbps": ADMIT_GBPS,
         "admission_rule_load_1m": ADMIT_LOAD,
-        "shuffle_partitions": os.environ.get("KGPIPE_SHUFFLE_PARTS"),
+        # resolved per-leg shuffle width, mirroring the expression in
+        # standalone_worker.py — recording the raw env var said "null"
+        # when unset, hiding that the two legs then ran DIFFERENT
+        # physical plans (8 vs 16 partitions at 2->8 cores), the very
+        # asymmetry this field exists to disclose
+        "shuffle_partitions": {
+            "N": int(os.environ.get("KGPIPE_SHUFFLE_PARTS",
+                                    max(8, 2 * legs[0]))),
+            "4N": int(os.environ.get("KGPIPE_SHUFFLE_PARTS",
+                                     max(8, 2 * legs[1]))),
+            "pinned": "KGPIPE_SHUFFLE_PARTS" in os.environ,
+        },
         "efficiency_per_clean_pair": clean_effs,
         "efficiency_median_clean": round(statistics.median(clean_effs), 3)
         if clean_effs else None,

@@ -23,7 +23,7 @@ from __future__ import annotations
 import struct
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import given, strategies as st
 
 from kgpipe.candidates import normalize_mention
 from kgpipe.multimodal import (
@@ -255,8 +255,13 @@ def test_wav_channel_mix_invariant(samples, n_ch):
 @given(samples_st)
 def test_wav_overdeclared_data_chunk_raises(samples):
     payload = bytearray(wav_bytes(samples))
-    # inflate the data chunk's declared size past the payload end
-    at = payload.rindex(b"data") + 4
+    # inflate the data chunk's declared size past the payload end.
+    # The header offset is computed from the writer's fixed layout
+    # (RIFF8 + WAVE4 + fmt-header8 + fmt16 + "data") — searching for
+    # b"data" could false-match inside PCM bytes (samples 24932,24948
+    # pack to exactly b"data") and mutate the wrong word
+    at = 12 + 8 + 16 + 4
+    assert payload[at - 4:at] == b"data"
     declared = struct.unpack_from("<I", payload, at)[0]
     struct.pack_into("<I", payload, at, declared + 64)
     with pytest.raises(ValueError):
