@@ -57,9 +57,12 @@ if ev_dir:
 
 os.environ.setdefault("KGPIPE_DRIVER_MEM", "4g")  # constant across legs
 # Default scales shuffle width with cores, which gives the two legs
-# DIFFERENT physical plans (8 vs 16 partitions at 2->8 cores). For a
-# constant-plan scaling experiment set KGPIPE_SHUFFLE_PARTS explicitly
-# (the r6 protocol pins 16 = the 4N leg's natural width on both legs).
+# DIFFERENT physical plans (8 vs 16 partitions at 2->8 cores) — the
+# deliberate protocol choice: the A/B in BENCH/AB_PARTS_r6.json
+# measured pinning either leg to the other's width as a ≤0.02 effect,
+# and a real 4× cluster would scale its width too. For a constant-plan
+# variant set KGPIPE_SHUFFLE_PARTS explicitly; the run record
+# discloses the resolved per-leg widths either way.
 shuffle_parts = int(os.environ.get("KGPIPE_SHUFFLE_PARTS",
                                    max(8, 2 * cores_max)))
 spark = get_spark(f"standalone-{cores_max}",
