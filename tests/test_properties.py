@@ -304,3 +304,22 @@ def test_y4m_truncated_frame_raises(case):
     payload = y4m_bytes(frames, w, h, "444")
     with pytest.raises(ValueError):
         _decode_video_y4m(payload[:-1])
+
+
+# ------------------------------------------------- hostload helpers
+
+def test_cpu_jiffies_contract():
+    from kgpipe.hostload import cpu_jiffies
+
+    s0, t0 = cpu_jiffies()
+    s1, t1 = cpu_jiffies()
+    assert isinstance(s0, int) and isinstance(t0, int)
+    # counters are cumulative since boot: monotone, steal <= total
+    assert 0 <= s0 <= t0
+    assert s1 >= s0 and t1 >= t0
+
+
+def test_load_probe_positive():
+    from kgpipe.hostload import load_probe_gbps
+
+    assert load_probe_gbps(16) > 0
