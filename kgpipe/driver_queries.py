@@ -65,6 +65,25 @@ def _token_ids(spark, sf_dir) -> DataFrame:
     return build_token_ids(t(spark, sf_dir, "documents")).select("token", "token_id")
 
 
+def _emb_dim(sf_dir: str) -> int | None:
+    """Vector dimension of the embeddings table, read from the first
+    parquet row (no Spark job) — feeds the codegen-unrolled dot/norm
+    expressions (similarity.dot_expr). A production index stores dim
+    in its metadata; None (empty/unreadable table) falls back to the
+    dimension-agnostic fold."""
+    try:
+        import pyarrow.parquet as _pq
+
+        pf = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        for batch in pf.iter_batches(batch_size=1, columns=["embedding"]):
+            if batch.num_rows:
+                return len(batch.column(0)[0])
+            break
+    except Exception:
+        pass
+    return None
+
+
 # --------------------------------------------------------------- queries
 
 def q_turn_order(spark, sf_dir):
@@ -576,7 +595,8 @@ def q_cosine_topk(spark, sf_dir):
     from kgpipe.similarity import cosine_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3,
+                      dim=_emb_dim(sf_dir))
     return out.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("long").alias("rank"), "cosine",
@@ -797,27 +817,16 @@ SELECT vec_id, CAST({_B8} AS BIGINT) AS bucket FROM (
 def q_lsh_cosine_verify(spark, sf_dir):
     """LSH-pairs → exact-cosine verification composition (the ANN
     pipeline at scale: bucket equi-join for candidates, exact re-rank
-    only on candidates — never the quadratic all-pairs)."""
-    from kgpipe.similarity import _dot, _norm, lsh_candidate_pairs
+    only on candidates — never the quadratic all-pairs). r7: one-pass
+    shape — vectors+norms ride the bucket join once; the quadratic
+    candidate-pair stream is never re-joined against the corpus
+    (similarity.lsh_cosine_verify; values bit-identical)."""
+    from kgpipe.similarity import lsh_cosine_verify
 
     emb = t(spark, sf_dir, "embeddings")
-    pairs = lsh_candidate_pairs(emb, n_planes=4)
-    # norms computed BELOW the pair join — once per vector, not per
-    # candidate pair (unrounded → cosine bit-identical)
-    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
-                    _norm(F.col("embedding")).alias("na"))
-    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
-                    _norm(F.col("embedding")).alias("nb"))
-    return (
-        pairs.join(va, "a").join(vb, "b")
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cosine") >= 0.2)
-        .select("a", "b", F.col("bucket").cast("long").alias("bucket"), "cosine")
-    )
+    return lsh_cosine_verify(
+        emb, n_planes=4, threshold=0.2, dim=_emb_dim(sf_dir)
+    ).select("a", "b", F.col("bucket").cast("long").alias("bucket"), "cosine")
 
 
 _P4, _B4 = _lsh_proj_sql(4)
@@ -1167,14 +1176,19 @@ QUERIES = {
 
 def q_span_mentions(spark, sf_dir):
     """Q1/Q2 over the transcript stand-in with a fixed gazetteer
-    (multi-token surfaces included) — the pandas-UDF tagging/span state
-    machine, hash-verified against a DuckDB match-extraction oracle
-    (valid because SPAN_SURFACES is overlap-free; see
-    _span_matches_sql)."""
-    from kgpipe.mentions import detect_mentions, tokenize
+    (multi-token surfaces included), hash-verified against a DuckDB
+    match-extraction oracle (valid because SPAN_SURFACES is
+    overlap-free; see _span_matches_sql). r7: tagging runs through the
+    broadcast-join gazetteer operator (detect_mentions_join — the
+    pipeline's scale path, mention rows identical to the pandas-UDF
+    state machine per the equivalence pytest), removing both
+    ArrowEvalPython nodes from this query's plan."""
+    from kgpipe.mentions import detect_mentions_join, tokenize
 
     tr = tokenize(doc_transcripts(spark, sf_dir))
-    return detect_mentions(tr, surfaces=SPAN_SURFACES).select(
+    surf = spark.createDataFrame([(s,) for s in SPAN_SURFACES],
+                                 "surface string")
+    return detect_mentions_join(tr, surf, broadcast_dim=True).select(
         "conv_id", "turn_idx", "entity_id", "mention_id",
         "text", "start", "end", "marked_text",
     )
@@ -1763,25 +1777,15 @@ def q_lsh_multitable_verify(spark, sf_dir):
     exact-cosine verification of the union of per-table candidates.
     The production ANN composition: N bucket equi-joins, exact re-rank
     only inside buckets."""
-    from kgpipe.similarity import _dot, _norm, lsh_multitable_pairs
+    from kgpipe.similarity import lsh_multitable_cosine_verify
 
     emb = t(spark, sf_dir, "embeddings")
-    pairs = lsh_multitable_pairs(emb, n_tables=4, planes_per_table=4)
-    # norms below the join (once per vector; cosine bit-identical)
-    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
-                    _norm(F.col("embedding")).alias("na"))
-    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
-                    _norm(F.col("embedding")).alias("nb"))
-    return (
-        pairs.join(va, "a").join(vb, "b")
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cosine") >= 0.2)
-        .select("a", "b", "cosine")
-    )
+    # r7: per-table bucket joins carry vectors+norms and emit each pair
+    # at its FIRST colliding table (no pair-stream distinct, no pair×
+    # array re-join shuffles); pair set and cosines bit-identical
+    return lsh_multitable_cosine_verify(
+        emb, n_tables=4, planes_per_table=4, threshold=0.2,
+        dim=_emb_dim(sf_dir))
 
 
 def _lsh_multitable_sql(n_tables: int, planes_per_table: int) -> str:
@@ -2009,7 +2013,7 @@ def q_ivf_topk(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     out = ivf_topk(emb, emb.filter(F.col("vec_id") % 50 == 0),
-                   k=3, n_cells=8, nprobe=2)
+                   k=3, n_cells=8, nprobe=2, dim=_emb_dim(sf_dir))
     return out.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("long").alias("rank"), "cosine",

@@ -37,7 +37,8 @@ def cpu_jiffies() -> tuple[int, int]:
     system idle iowait irq softirq steal): the kernel already folds
     guest/guest_nice into user/nice, so including them would
     double-count guest time and bias the steal share low."""
-    fields = open("/proc/stat").readline().split()[1:]
+    with open("/proc/stat") as f:
+        fields = f.readline().split()[1:]
     vals = [int(x) for x in fields]
     steal = vals[7] if len(vals) > 7 else 0
     return steal, sum(vals[:8])

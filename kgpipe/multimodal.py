@@ -383,11 +383,19 @@ def _decode_video_avi(payload: bytes, dim: int = 8) -> list:
             row = payload[off + y * stride:off + y * stride + w * bpp]
             if bpp == 1:
                 total += sum(row)
-            else:  # BGR byte order
-                total += sum(
-                    (299 * row[3 * x + 2] + 587 * row[3 * x + 1]
-                     + 114 * row[3 * x]) // 1000
-                    for x in range(w))
+            else:  # BGR byte order — vectorized (r7): the r6 per-pixel
+                # Python generator was ~6M interpreter ops on one
+                # 1920x1080 frame (ADVICE r6). numpy keeps the exact
+                # per-pixel floor-division semantics ((299R+587G+114B)
+                # //1000 in integers, then sum), so band goldens are
+                # unchanged; numpy is already a hard dependency of the
+                # Arrow/pandas UDF runtime this kernel runs inside.
+                import numpy as np
+
+                px = np.frombuffer(row, dtype=np.uint8).astype(np.int64)
+                total += int(np.sum(
+                    (299 * px[2::3] + 587 * px[1::3] + 114 * px[0::3])
+                    // 1000))
         means.append(total / (w * h))
     return _band_frame_means(means, dim)
 

@@ -58,6 +58,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))
+        # Let HotSpot JIT large generated methods: the unrolled
+        # fixed-dim dot/norm chains (similarity.dot_expr) codegen into
+        # one >8 KB-bytecode method, which HotSpot's default
+        # DontCompileHugeMethods leaves to the bytecode INTERPRETER —
+        # measured 47 µs/dot vs ~0.1 µs JIT-compiled (r7 microbench).
+        # Standard JVM tuning for wide-schema/wide-expression codegen;
+        # on a cluster the same flag goes in executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

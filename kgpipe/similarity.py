@@ -36,6 +36,66 @@ def _norm(a):
     )
 
 
+def _dot_u(a, b, dim: int):
+    """Unrolled dot product for fixed-dimension vectors: the same
+    left-to-right IEEE addition chain as `_dot` (accumulator starts at
+    the literal 0.0, one fused a_i*b_i term per step), so the result is
+    BIT-IDENTICAL to the fold — but expressed as a flat Add/Multiply
+    tree that whole-stage codegen compiles, instead of an interpreted
+    higher-order `aggregate` lambda that allocates a zip array and
+    walks an expression tree per element. Measured on the pair-verify
+    queries this is the difference between the re-rank being CPU-bound
+    in `HigherOrderFunction.eval` and it disappearing into the join
+    stage (OPTIMIZATION_r07.md).
+
+    Only valid when every vector has exactly `dim` elements (the
+    embedding-corpus contract; `infer_dim` probes it). Out-of-range
+    `get` yields NULL which propagates to a NULL sum — the same
+    poisoning `_dot` produces on ragged input, never a silent wrong
+    number."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return acc
+
+
+def dot_expr(a, b, dim: int | None = None):
+    """`_dot` when the dimension is unknown, the codegen-able unrolled
+    form when it is. Bit-identical either way."""
+    return _dot(a, b) if dim is None else _dot_u(a, b, dim)
+
+
+def norm_expr(a, dim: int | None = None):
+    """`_norm` twin of dot_expr (sqrt of the same addition chain)."""
+    return _norm(a) if dim is None else F.sqrt(_dot_u(a, a, dim))
+
+
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
+    """Probe the vector dimension from one row (None on an empty
+    frame). One tiny Spark job; callers that know the dim (or can read
+    it from storage metadata, as a production index would) pass it
+    directly."""
+    rows = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    return int(rows[0]["d"]) if rows else None
+
+
+def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition to factor × cluster parallelism.
+
+    The compute-exploding joins below (bucket self-joins, broadcast
+    candidate probes) do orders of magnitude more work per INPUT row
+    than per-row scans, and their parallelism is inherited from the
+    upstream scan — a corpus that fits one 128 MB scan split would run
+    the entire quadratic re-rank in ONE task (measured: the one-pass
+    q29 join pinned a single core for minutes at sf1.0 before this).
+    AQE cannot help: its coalescing sizes partitions by INPUT bytes,
+    which are tiny here. The partition count derives from
+    sparkContext.defaultParallelism (cluster-sized, never a constant),
+    and the extra exchange moves only O(corpus) slim rows."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(factor * sc.defaultParallelism)
+
+
 def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return embeddings.withColumn("l2_norm", F.round(_norm(F.col(vec_col)), 6))
 
@@ -46,34 +106,43 @@ def cosine_topk(
     k: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (brute force): broadcast the
     query set, rank by cosine desc with (rounded cosine, neighbor id)
-    deterministic ordering. Self-pairs excluded."""
+    deterministic ordering. Self-pairs excluded. Assumes a fixed-dim
+    corpus (every embedding table here); pass `dim` to skip the probe.
+    """
     # norms are computed BELOW the join — once per vector row, never
     # per candidate pair (at 100 TB the corpus norm is a stored column;
     # unrounded, so the cosine value is bit-identical to the per-pair
     # _norm form)
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-            _norm(F.col(vec_col)).alias("_qn"),
+            norm_expr(F.col(vec_col), dim).alias("_qn"),
         )
     )
-    c = embeddings.select(
+    c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
-        _norm(F.col(vec_col)).alias("_nn"),
+        norm_expr(F.col(vec_col), dim).alias("_nn"),
     )
+    # project to (query_id, neighbor_id, cosine) BEFORE the rank
+    # window: the window's exchange+sort otherwise carries both
+    # embedding arrays per scored row — at corpus scale that is the
+    # dominant shuffle (guide §2.3 "project before the exchange")
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
+        .select(
+            "query_id", "neighbor_id",
             F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
+                dot_expr(F.col("q_vec"), F.col("n_vec"), dim)
                 / (F.col("_qn") * F.col("_nn")),
                 6,
-            ),
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -207,31 +276,67 @@ def _sq_dist(a, b):
     return _dot(a, a) + _dot(b, b) - 2.0 * _dot(a, b)
 
 
+def _centroid_row(centroids: DataFrame):
+    """Fold the (tiny) centroid table into ONE broadcastable row:
+    an array of (cell, centroid, c2=|c|²) structs. |c|² is computed
+    here once per centroid — the argmin consumers below re-use it
+    instead of re-folding the centroid array per corpus row."""
+    return F.broadcast(centroids.agg(F.collect_list(F.struct(
+        F.col("cell"), F.col("centroid"),
+        _dot(F.col("centroid"), F.col("centroid")).alias("c2"),
+    )).alias("cents")))
+
+
+def _cell_dist_struct(vcol, v2col, c):
+    """struct(round(|v|²+|c|²−2v·c, 6), cell) with the exact _sq_dist
+    addition tree ((v2 + c2) − 2.0·dot), so distances — and the
+    (dist, cell) argmin tiebreak — are bit-identical to the r1-r6
+    crossJoin+groupBy form."""
+    return F.struct(
+        F.round((v2col + c["c2"]) - 2.0 * _dot(vcol, c["centroid"]), 6)
+        .alias("_d"),
+        c["cell"].alias("cell"),
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding",
-               id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, cell): nearest centroid by squared L2 — broadcast the
-    (tiny) centroid table, argmin via a struct-min aggregation with a
-    deterministic (rounded dist, cell) tiebreak. Linear in corpus size;
-    the only shuffle is the per-vector groupBy."""
-    c = F.broadcast(centroids)
-    scored = (
-        embeddings.select(F.col(id_col).alias("vec_id"),
-                          F.col(vec_col).alias("_v"))
-        .crossJoin(c)
-        .withColumn("_d", F.round(_sq_dist(F.col("_v"), F.col("centroid")), 6))
-    )
+               id_col: str = "vec_id",
+               dim: int | None = None) -> DataFrame:
+    """(vec_id, cell): nearest centroid by squared L2, with the
+    deterministic (rounded dist, cell) tiebreak.
+
+    Shuffle-free since r7: the centroid table collapses to a one-row
+    broadcast array and the argmin is `array_min(transform(...))` per
+    corpus row — the old shape exploded corpus×cells rows through a
+    groupBy exchange and recomputed the |v|²/|c|² folds per (row,
+    centroid). |v|² is now one fold per row, |c|² one per centroid,
+    and no exchange remains (distances/tiebreaks bit-identical —
+    _cell_dist_struct)."""
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
     return (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("_d"), F.col("cell"))).alias("_m"))
-        .select("vec_id", F.col("_m.cell").alias("cell"))
+        _spread(embeddings).select(F.col(id_col).alias("vec_id"),
+                                   F.col(vec_col).alias("_v"))
+        .crossJoin(_centroid_row(centroids))
+        .withColumn("_v2", dot_expr(F.col("_v"), F.col("_v"), dim))
+        .select(
+            "vec_id",
+            F.array_min(F.transform(
+                F.col("cents"),
+                lambda c: _cell_dist_struct(F.col("_v"), F.col("_v2"), c),
+            ))["cell"].alias("cell"),
+        )
+        .filter(F.col("cell").isNotNull())  # empty-centroid edge: match
+        # the old shape's empty output instead of NULL-cell rows
     )
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
              n_cells: int = 8, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             dim: int | None = None) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into cells, probe each
     query's nprobe nearest cells, exact-cosine re-rank inside the
     probed candidates — the third ANN scale path next to single-table
@@ -243,43 +348,63 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     rank, cosine), rank ≤ k."""
     cent = (centroids if centroids is not None
             else ivf_centroids(embeddings, n_cells, vec_col, id_col))
-    assign = ivf_assign(embeddings, cent, vec_col, id_col)
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
+    cents1 = _centroid_row(cent)
 
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"),
-                       _norm(F.col(vec_col)).alias("_qn"))
-    q_scored = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("_d", F.round(_sq_dist(F.col("q_vec"), F.col("centroid")), 6))
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("_d").asc(), F.col("cell").asc())
-    q_cells = (
-        q_scored.withColumn("_rn", F.row_number().over(probe_w))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "q_vec", "_qn", "cell")
-    )
-    cand = (
-        q_cells.join(
-            assign.join(
-                embeddings.select(F.col(id_col).alias("vec_id"),
-                                  F.col(vec_col).alias("n_vec"),
-                                  _norm(F.col(vec_col)).alias("_nn")),
-                "vec_id",
-            ).withColumnRenamed("vec_id", "neighbor_id"),
-            "cell",
+    # Corpus side: assignment is computed INLINE on the scan (one-row
+    # centroid broadcast + per-row argmin — see ivf_assign) instead of
+    # materializing an (assign ⋈ embeddings) join, so the corpus is
+    # never shuffled at all. |v|² feeds both the assignment distances
+    # and the cosine norm (sqrt), exactly as _norm would compute it.
+    corpus = (
+        _spread(embeddings).select(F.col(id_col).alias("neighbor_id"),
+                                   F.col(vec_col).alias("n_vec"))
+        .crossJoin(cents1)
+        .withColumn("_n2", dot_expr(F.col("n_vec"), F.col("n_vec"), dim))
+        .select(
+            "neighbor_id", "n_vec",
+            F.sqrt(F.col("_n2")).alias("_nn"),
+            F.array_min(F.transform(
+                F.col("cents"),
+                lambda c: _cell_dist_struct(F.col("n_vec"), F.col("_n2"), c),
+            ))["cell"].alias("cell"),
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    # per-vector norms from below the join (bit-identical, never
-    # recomputed per candidate pair)
-    scored = cand.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("q_vec"), F.col("n_vec"))
-            / (F.col("_qn") * F.col("_nn")),
-            6,
-        ),
+    # Query side: the nprobe nearest cells come from sorting the same
+    # per-row (dist, cell) struct array — array_sort's (d asc, cell
+    # asc) order IS the old probe window's orderBy, so the probed set
+    # is identical. One row per (query, probed cell).
+    q_cells = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+        .crossJoin(cents1)
+        .withColumn("_q2", dot_expr(F.col("q_vec"), F.col("q_vec"), dim))
+        .select(
+            "query_id", "q_vec",
+            F.sqrt(F.col("_q2")).alias("_qn"),
+            F.explode(F.slice(F.array_sort(F.transform(
+                F.col("cents"),
+                lambda c: _cell_dist_struct(F.col("q_vec"), F.col("_q2"), c),
+            ))["cell"], 1, nprobe)).alias("cell"),
+        )
+    )
+    # Candidate generation: broadcast the (queries × nprobe) probe rows
+    # against the assigned corpus — the corpus side stays map-only. The
+    # only exchange in the whole query is the final rank window, and it
+    # carries slim (query_id, neighbor_id, cosine) rows: the arrays are
+    # projected away before the exchange (guide §2.3).
+    scored = (
+        corpus.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                dot_expr(F.col("q_vec"), F.col("n_vec"), dim)
+                / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -316,6 +441,117 @@ def lsh_bucket_tables(embeddings: DataFrame, vec_col: str = "embedding",
         "vec_id",
         F.posexplode("_buckets").alias("table", "bucket"),
     )
+
+
+def lsh_cosine_verify(embeddings: DataFrame, n_planes: int = N_PLANES,
+                      threshold: float = 0.2, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      dim: int | None = None) -> DataFrame:
+    """Single-table LSH candidates + exact-cosine verify in ONE bucket
+    self-join: (a, b, bucket, cosine) for every same-bucket pair with
+    cosine ≥ threshold.
+
+    Optimization over pairs→join-arrays→join-arrays (the r1-r6 q29
+    shape): the candidate pair stream is quadratic in bucket occupancy,
+    so joining IT back against the corpus shuffles two full embedding
+    arrays PER PAIR (O(pairs)·dim bytes, two sort-merge joins). Here
+    each vector instead carries (embedding, norm) into the bucket
+    shuffle once — O(corpus)·dim bytes — and the exact re-rank is a
+    projection on the join output, which never crosses another
+    exchange (guide §8: every shuffle but the last moves lightweight
+    proxies; the payload moves once). Norms are still computed below
+    the join, once per vector; cosine = round(dot(a,b)/(n_a·n_b), 6)
+    with the identical fold order, so values are bit-identical."""
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
+    # _spread: the join below emits ~bucket_size rows per input row;
+    # without it the whole re-rank inherits the scan's partition count
+    # (1 task on a single-file corpus). Both aliases read the spread
+    # frame, so whichever side the planner builds, the streamed side
+    # has cluster-wide parallelism.
+    ev = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col), dim).alias("n"),
+        F.element_at(_bucket_arr_expr(vec_col, 1, n_planes), 1)
+        .alias("bucket"),
+    )
+    return (
+        ev.alias("l").join(ev.alias("r"), "bucket")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot_expr(F.col("l.v"), F.col("r.v"), dim)
+                    / (F.col("l.n") * F.col("r.n")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"),
+                "bucket", "cosine")
+    )
+
+
+def lsh_multitable_cosine_verify(embeddings: DataFrame, n_tables: int = 4,
+                                 planes_per_table: int = 4,
+                                 threshold: float = 0.2,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id",
+                                 dim: int | None = None) -> DataFrame:
+    """Banded multi-table LSH + exact-cosine verify: (a, b, cosine) for
+    every pair sharing a bucket in ANY table, cosine ≥ threshold — the
+    q42 composition, restructured like lsh_cosine_verify.
+
+    Two structural changes vs pairs→distinct→join-arrays→join-arrays:
+
+    1. Vectors + norms ride the per-table bucket join (O(corpus·tables)
+       array bytes) instead of being re-attached to the pair stream
+       (O(pairs) array bytes across two more shuffles).
+    2. The cross-table `.distinct()` on the pair stream is replaced by
+       FIRST-COLLISION emission: table t's join keeps a pair only when
+       no earlier table t' < t also collided (each side carries its
+       earlier bucket keys, so the guard is a codegen'd column
+       comparison). Every colliding pair is emitted exactly once — the
+       same set, same multiplicity (one row per pair) as the distinct,
+       with no pair-stream exchange at all."""
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
+    # localCheckpoint: the K-plane bucket array is an interpreted HOF
+    # fold per vector, and the n_tables join branches would otherwise
+    # recompute it 2·n_tables× (plus once more inside each pushed
+    # isnotnull join-key filter). One tiny eager job materializes the
+    # (id, vector, norm, buckets) index — exactly what a production
+    # LSH index stores — and _spread (see lsh_cosine_verify) gives the
+    # quadratic join branches cluster-wide parallelism.
+    wide = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col), dim).alias("n"),
+        _bucket_arr_expr(vec_col, n_tables, planes_per_table).alias("bks"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for t_ in range(n_tables):
+        side = wide.select(
+            "vec_id", "v", "n",
+            *[F.get("bks", i).alias(f"b{i}") for i in range(t_ + 1)],
+        )
+        cond = (
+            (F.col(f"l.b{t_}") == F.col(f"r.b{t_}"))
+            & (F.col("l.vec_id") < F.col("r.vec_id"))
+        )
+        for i in range(t_):  # first-collision guard
+            cond = cond & (F.col(f"l.b{i}") != F.col(f"r.b{i}"))
+        p = (
+            side.alias("l").join(side.alias("r"), cond)
+            .withColumn(
+                "cosine",
+                F.round(dot_expr(F.col("l.v"), F.col("r.v"), dim)
+                        / (F.col("l.n") * F.col("r.n")), 6),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("l.vec_id").alias("a"),
+                    F.col("r.vec_id").alias("b"), "cosine")
+        )
+        out = p if out is None else out.unionByName(p)
+    return out
 
 
 def lsh_multitable_pairs(embeddings: DataFrame, vec_col: str = "embedding",

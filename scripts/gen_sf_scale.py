@@ -40,6 +40,9 @@ def main():
 
     docs = pq.read_table(f"{SRC}/documents.parquet")
     doc_id = docs.column("doc_id").to_numpy()
+    # replica ids are offset by k*ID_STRIDE — a source id at or above
+    # the stride would silently collide across replicas (ADVICE r6)
+    assert doc_id.max() < ID_STRIDE, "doc_id exceeds replica ID_STRIDE"
     source = np.array(docs.column("source").to_pylist())
     reps = []
     for k in range(K):
@@ -60,6 +63,7 @@ def main():
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
     vec_id = emb.column("vec_id").to_numpy()
+    assert vec_id.max() < ID_STRIDE, "vec_id exceeds replica ID_STRIDE"
     vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
     labels = emb.column("label")
     reps = []
