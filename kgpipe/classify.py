@@ -85,8 +85,13 @@ def classify(enriched: DataFrame, keywords: Dict[str, str] | None = None) -> Dat
     keywords = keywords or DEFAULT_KEYWORDS
     feats = assemble_features(enriched)
     scored = _score_features(feats, keywords)
+    # shuffle_hash on the slim scored side: the planner's sort-merge
+    # would Tungsten-sort the WIDE enriched stream (marked_text +
+    # summaries per row) just to attach a 3-column per-mention score;
+    # hashing the slim side streams the wide side unsorted (guide §3.1
+    # — same rationale as enrich.attach_decisions)
     return (
-        enriched.join(scored, "mention_id", "left")
+        enriched.join(scored.hint("shuffle_hash"), "mention_id", "left")
         .withColumn("pred_label",
                     F.coalesce("pred_label", F.lit(FALLBACK_LABEL)))
         .withColumn("pred_score", F.coalesce("pred_score", F.lit(0)))

@@ -43,7 +43,13 @@ def score_hypotheses(
     enters the reference's marginalization) and overlap is the fraction
     of title tokens present in the turn.
     """
-    ctx = mentions.select("mention_id", F.col("tokens").alias("ctx_tokens"))
+    # array_distinct below the join: overlap counts DISTINCT common
+    # tokens (array_intersect dedups), so deduping the context tokens
+    # map-side changes nothing — and the ctx exchange, the single
+    # heaviest shuffle stream of the linking block at sf1.0, shrinks
+    # by the per-turn token repetition factor (guide §2.3)
+    ctx = mentions.select(
+        "mention_id", F.array_distinct(F.col("tokens")).alias("ctx_tokens"))
     # join strategy note (measured on the 1.2M-turn standalone pairs):
     # forcing shuffle_hash here to skip the sort-merge sorts REGRESSED
     # the tight-heap legs — the hash build of per-mention token arrays

@@ -66,7 +66,8 @@ def surfaces_from_dims(alias_map: DataFrame, mention_counts: DataFrame) -> list:
 
 def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
                mention_counts: DataFrame, materialize: bool = True,
-               wiki_summaries: DataFrame | None = None) -> dict:
+               wiki_summaries: DataFrame | None = None,
+               deferred: bool = False) -> dict:
     """KB-construction sub-pipeline (the reference's preprocess_wikidata/
     preprocess_mention_dicts stage): derive and return the broadcastable
     lookup dims + the gazetteer surface dim. Separate from the per-turn
@@ -110,10 +111,28 @@ def build_dims(spark: SparkSession, entity_kb: DataFrame, kb_args: DataFrame,
         # thread-safe; local scheduler interleaves the tiny dim stages.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(dims)) as pool:
-            futures = {k: pool.submit(v.localCheckpoint, True)
-                       for k, v in dims.items()}
+        def _ck(name, df):
+            sc = spark.sparkContext
+            sc.setJobDescription(f"kgpipe dim:{name}")  # thread-local
+            try:
+                return df.localCheckpoint(eager=True)
+            finally:
+                sc.setJobDescription(None)
+
+        pool = ThreadPoolExecutor(max_workers=len(dims))
+        futures = {k: pool.submit(_ck, k, v) for k, v in dims.items()}
+        if deferred:
+            # resolve only the dim the FIRST pipeline stage consumes
+            # (the tagger's surface universe); the other checkpoint
+            # jobs stay in flight so the caller's mention stage
+            # overlaps them (guide §2.6 "overlap independent jobs") —
+            # run_pipeline resolves the futures before linking.
+            dims = {**futures}
+            dims["surfaces_df"] = futures["surfaces_df"].result()
+            pool.shutdown(wait=False)
+        else:
             dims = {k: f.result() for k, f in futures.items()}
+            pool.shutdown()
         dims["surfaces_broadcastable"] = (
             (obs.get["n"] or 0) <= BROADCAST_MAX_SURFACES)
     return dims
@@ -153,12 +172,19 @@ def run_pipeline(
     applied to the accepted/link QIDs after enrichment, BEFORE
     classification features are consumed and triples are emitted
     (north_rule canonicalization step). Broadcast joins, no shuffle."""
+    # deferred dims (non-checkpoint path): build_dims resolves only the
+    # surface dim and leaves the other checkpoint jobs in flight, so
+    # the mention stage below overlaps them; _dim() blocks on a still-
+    # running future only when a later stage actually needs that dim.
     dims = dims or build_dims(spark, entity_kb, kb_args, mention_counts,
-                              wiki_summaries=wiki_summaries)
-    title_map = dims["title_map"]
-    alias_map = dims["alias_map"]
-    kb_context = dims["kb_context"]
-    surfaces_df = dims.get("surfaces_df")
+                              wiki_summaries=wiki_summaries,
+                              deferred=not checkpoint_dir)
+
+    def _dim(name):
+        v = dims.get(name)
+        return v.result() if hasattr(v, "result") else v
+
+    surfaces_df = _dim("surfaces_df")
     if surfaces_df is None:  # legacy dims dict with a collected list
         surfaces_df = spark.createDataFrame(
             [(s,) for s in dims["surfaces"]], "surface string")
@@ -182,12 +208,12 @@ def run_pipeline(
         # by project collapsing, while joins/windows stay in codegen
         cands = generate_candidates(m, mention_counts,
                                     max_candidates=max_candidates)
-        return link_mentions(m, cands, title_map, beam=beam)
+        return link_mentions(m, cands, _dim("title_map"), beam=beam)
 
     def stage_enrich(l: DataFrame) -> DataFrame:
-        return accept_and_enrich(l, kb_context, wiki_summaries,
+        return accept_and_enrich(l, _dim("kb_context"), wiki_summaries,
                                  language=language,
-                                 summaries_dim=dims.get("summaries_dim"))
+                                 summaries_dim=_dim("summaries_dim"))
 
     if checkpoint_dir:
         mentions = checkpoints.resume_stage(
@@ -225,11 +251,17 @@ def run_pipeline(
         def cut(df: DataFrame, name: str) -> DataFrame:
             if name in skip_cuts or cut_mode == "none":
                 return df
-            if cut_mode == "local":
-                return df.localCheckpoint(eager=True)
-            path = os.path.join(work_dir, name)
-            write_table(df, path)
-            return read_table(spark, path)
+            # label the cut's job so UI/eventlog time attributes to the
+            # stage by name (guide §1.5); thread-local, reset after
+            spark.sparkContext.setJobDescription(f"kgpipe cut:{name}")
+            try:
+                if cut_mode == "local":
+                    return df.localCheckpoint(eager=True)
+                path = os.path.join(work_dir, name)
+                write_table(df, path)
+                return read_table(spark, path)
+            finally:
+                spark.sparkContext.setJobDescription(None)
 
         mentions = cut(stage_mentions(turns), "mentions")
         # Linking sub-steps: candidates/hypotheses/ranked are single-
@@ -246,21 +278,29 @@ def run_pipeline(
         cands = cut(generate_candidates(mentions, mention_counts,
                                         max_candidates=max_candidates),
                     "candidates")
-        hyps = cut(score_hypotheses(cands, mentions, title_map, beam=beam),
+        hyps = cut(score_hypotheses(cands, mentions, _dim("title_map"),
+                                    beam=beam),
                    "hypotheses")
         # details=False: texts/scores are per-QID diagnostics nothing in
         # this pipeline reads; slim rows through the marginalize agg,
         # the rank window and the fold-back join (score bit-identical)
         ranked = cut(marginalize(hyps, details=False), "ranked")
-        linked = cut(predictions_per_mention(mentions, ranked), "linked")
+        # tokens are dropped at the fold-back: no operator below linking
+        # reads them, yet they were the widest column (a ~100-string
+        # array per mention) riding every downstream cut, the decisions
+        # explode, the shuffle_hash attach join and the classify scan —
+        # measured as the bulk of the ~470-790 MB shuffle streams in the
+        # sf1.0 eventlog (guide §2.3 "project before the exchange")
+        linked = cut(predictions_per_mention(mentions.drop("tokens"),
+                                             ranked), "linked")
         # enrich split the same way: decision aggregation cut before the
         # fold-back join (fused, it degrades ~3× at 32 cores)
         from kgpipe.enrich import acceptance_decisions, attach_decisions
 
         decisions = cut(
-            acceptance_decisions(linked, kb_context, wiki_summaries,
+            acceptance_decisions(linked, _dim("kb_context"), wiki_summaries,
                                  language=language,
-                                 summaries_dim=dims.get("summaries_dim")),
+                                 summaries_dim=_dim("summaries_dim")),
             "decisions",
         )
         enriched = cut(attach_decisions(linked, decisions), "enriched")
@@ -294,8 +334,8 @@ def run_pipeline(
         "classified": classified,
         "triples": triples,
         "dims": {
-            "title_map": title_map,
-            "alias_map": alias_map,
-            "kb_context": kb_context,
+            "title_map": _dim("title_map"),
+            "alias_map": _dim("alias_map"),
+            "kb_context": _dim("kb_context"),
         },
     }
