@@ -65,25 +65,6 @@ def _token_ids(spark, sf_dir) -> DataFrame:
     return build_token_ids(t(spark, sf_dir, "documents")).select("token", "token_id")
 
 
-def _emb_dim(sf_dir: str) -> int | None:
-    """Vector dimension of the embeddings table, read from the first
-    parquet row (no Spark job) — feeds the codegen-unrolled dot/norm
-    expressions (similarity.dot_expr). A production index stores dim
-    in its metadata; None (empty/unreadable table) falls back to the
-    dimension-agnostic fold."""
-    try:
-        import pyarrow.parquet as _pq
-
-        pf = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-        for batch in pf.iter_batches(batch_size=1, columns=["embedding"]):
-            if batch.num_rows:
-                return len(batch.column(0)[0])
-            break
-    except Exception:
-        pass
-    return None
-
-
 # --------------------------------------------------------------- queries
 
 def q_turn_order(spark, sf_dir):
@@ -595,8 +576,7 @@ def q_cosine_topk(spark, sf_dir):
     from kgpipe.similarity import cosine_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3,
-                      dim=_emb_dim(sf_dir))
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
     return out.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("long").alias("rank"), "cosine",
@@ -812,6 +792,27 @@ SELECT vec_id, CAST({_B8} AS BIGINT) AS bucket FROM (
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 )
 """
+
+
+def _emb_dim(sf_dir: str) -> int | None:
+    """Vector dimension of the embeddings table, read from the first
+    parquet row (pyarrow, no Spark job) — feeds the unrolled dot in the
+    pair-verify queries, where the cosine evaluates in a codegen'd
+    filter above the bucket join and the JIT'd unrolled chain measured
+    ~2× over the interpreted fold (it LOSES in the other similarity
+    shapes — see similarity._dot_u — so only q29/q42 pass it). None
+    (empty/unreadable table) falls back to the fold."""
+    try:
+        import pyarrow.parquet as _pq
+
+        pf = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        for batch in pf.iter_batches(batch_size=1, columns=["embedding"]):
+            if batch.num_rows:
+                return len(batch.column(0)[0])
+            break
+    except Exception:
+        pass
+    return None
 
 
 def q_lsh_cosine_verify(spark, sf_dir):
@@ -2013,7 +2014,7 @@ def q_ivf_topk(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     out = ivf_topk(emb, emb.filter(F.col("vec_id") % 50 == 0),
-                   k=3, n_cells=8, nprobe=2, dim=_emb_dim(sf_dir))
+                   k=3, n_cells=8, nprobe=2)
     return out.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("long").alias("rank"), "cosine",

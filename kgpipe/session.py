@@ -67,6 +67,12 @@ def get_spark(
         # on a cluster the same flag goes in executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions",
                 "-XX:-DontCompileHugeMethods")
+        # default 100 evicts mid-workload: a full bench pass generates
+        # a few hundred codegen classes, so the LRU would drop (and
+        # HotSpot would re-JIT) the expensive pair-verify methods on
+        # every pass. 2000 keeps every live class warm; generated-class
+        # retention is a few MB against the 8g driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -40,19 +40,21 @@ def _dot_u(a, b, dim: int):
     """Unrolled dot product for fixed-dimension vectors: the same
     left-to-right IEEE addition chain as `_dot` (accumulator starts at
     the literal 0.0, one fused a_i*b_i term per step), so the result is
-    BIT-IDENTICAL to the fold — but expressed as a flat Add/Multiply
-    tree that whole-stage codegen compiles, instead of an interpreted
-    higher-order `aggregate` lambda that allocates a zip array and
-    walks an expression tree per element. Measured on the pair-verify
-    queries this is the difference between the re-rank being CPU-bound
-    in `HigherOrderFunction.eval` and it disappearing into the join
-    stage (OPTIMIZATION_r07.md).
+    BIT-IDENTICAL to the fold (property-tested).
 
-    Only valid when every vector has exactly `dim` elements (the
-    embedding-corpus contract; `infer_dim` probes it). Out-of-range
-    `get` yields NULL which propagates to a NULL sum — the same
-    poisoning `_dot` produces on ragged input, never a silent wrong
-    number."""
+    Measured VERDICT at dim=64 (OPTIMIZATION_r07.md): the flat 64-term
+    tree codegens into one >8 KB-bytecode method that HotSpot only runs
+    well with -XX:-DontCompileHugeMethods, pays a multi-second JIT
+    cold-start per generated class, and in non-WholeStageCodegen
+    positions (BroadcastNestedLoopJoin projections, join conditions)
+    still loses to the interpreted fold by 2-3×. The fold (`dim=None`,
+    the default everywhere) won or tied every interleaved A/B, so this
+    stays an opt-in for genuinely small dims.
+
+    Only valid when every vector has exactly `dim` elements; an
+    out-of-range `get` yields NULL which propagates to a NULL sum —
+    the same poisoning `_dot` produces on ragged input, never a silent
+    wrong number."""
     acc = F.lit(0.0)
     for i in range(dim):
         acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
@@ -60,8 +62,8 @@ def _dot_u(a, b, dim: int):
 
 
 def dot_expr(a, b, dim: int | None = None):
-    """`_dot` when the dimension is unknown, the codegen-able unrolled
-    form when it is. Bit-identical either way."""
+    """`_dot` (the default, dim=None) or the unrolled fixed-dim form.
+    Bit-identical either way; see _dot_u for why the fold is default."""
     return _dot(a, b) if dim is None else _dot_u(a, b, dim)
 
 
@@ -77,6 +79,20 @@ def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
     directly."""
     rows = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     return int(rows[0]["d"]) if rows else None
+
+
+def _above_join(pred, df: DataFrame) -> DataFrame:
+    """Filter with `pred` kept ABOVE the preceding join.
+
+    A deterministic threshold filter over a join gets pushed into the
+    join condition, where its conjunct is PREPENDED — so the expensive
+    cosine would run for every probed bucket slot (both orientations,
+    before the cheap vec_id</bucket-inequality guards; measured 2×+ on
+    the pair-verify queries). OR-ing an always-false nondeterministic
+    term (monotonically_increasing_id() < 0) makes the predicate
+    unpushable without changing a single row: ids are non-negative by
+    construction, so `cosine >= t OR false` ≡ `cosine >= t`."""
+    return df.filter(pred | (F.monotonically_increasing_id() < F.lit(0)))
 
 
 def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
@@ -117,8 +133,6 @@ def cosine_topk(
     # per candidate pair (at 100 TB the corpus norm is a stored column;
     # unrounded, so the cosine value is bit-identical to the per-pair
     # _norm form)
-    if dim is None:
-        dim = infer_dim(embeddings, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
@@ -313,8 +327,6 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     centroid). |v|² is now one fold per row, |c|² one per centroid,
     and no exchange remains (distances/tiebreaks bit-identical —
     _cell_dist_struct)."""
-    if dim is None:
-        dim = infer_dim(embeddings, vec_col)
     return (
         _spread(embeddings).select(F.col(id_col).alias("vec_id"),
                                    F.col(vec_col).alias("_v"))
@@ -348,8 +360,6 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     rank, cosine), rank ≤ k."""
     cent = (centroids if centroids is not None
             else ivf_centroids(embeddings, n_cells, vec_col, id_col))
-    if dim is None:
-        dim = infer_dim(embeddings, vec_col)
     cents1 = _centroid_row(cent)
 
     # Corpus side: assignment is computed INLINE on the scan (one-row
@@ -462,9 +472,8 @@ def lsh_cosine_verify(embeddings: DataFrame, n_planes: int = N_PLANES,
     proxies; the payload moves once). Norms are still computed below
     the join, once per vector; cosine = round(dot(a,b)/(n_a·n_b), 6)
     with the identical fold order, so values are bit-identical."""
-    if dim is None:
-        dim = infer_dim(embeddings, vec_col)
-    # _spread: the join below emits ~bucket_size rows per input row;
+    # dim=None -> dimension-agnostic fold (the default and the measured
+    # winner at dim 64: see dot_expr note). _spread: the join below emits ~bucket_size rows per input row;
     # without it the whole re-rank inherits the scan's partition count
     # (1 task on a single-file corpus). Both aliases read the spread
     # frame, so whichever side the planner builds, the streamed side
@@ -484,7 +493,7 @@ def lsh_cosine_verify(embeddings: DataFrame, n_planes: int = N_PLANES,
             F.round(dot_expr(F.col("l.v"), F.col("r.v"), dim)
                     / (F.col("l.n") * F.col("r.n")), 6),
         )
-        .filter(F.col("cosine") >= threshold)
+        .transform(lambda j: _above_join(F.col("cosine") >= threshold, j))
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"),
                 "bucket", "cosine")
     )
@@ -512,8 +521,6 @@ def lsh_multitable_cosine_verify(embeddings: DataFrame, n_tables: int = 4,
        comparison). Every colliding pair is emitted exactly once — the
        same set, same multiplicity (one row per pair) as the distinct,
        with no pair-stream exchange at all."""
-    if dim is None:
-        dim = infer_dim(embeddings, vec_col)
     # localCheckpoint: the K-plane bucket array is an interpreted HOF
     # fold per vector, and the n_tables join branches would otherwise
     # recompute it 2·n_tables× (plus once more inside each pushed
@@ -546,7 +553,7 @@ def lsh_multitable_cosine_verify(embeddings: DataFrame, n_tables: int = 4,
                 F.round(dot_expr(F.col("l.v"), F.col("r.v"), dim)
                         / (F.col("l.n") * F.col("r.n")), 6),
             )
-            .filter(F.col("cosine") >= threshold)
+            .transform(lambda j: _above_join(F.col("cosine") >= threshold, j))
             .select(F.col("l.vec_id").alias("a"),
                     F.col("r.vec_id").alias("b"), "cosine")
         )
