@@ -51,51 +51,64 @@ FALLBACK_LABEL = sorted(DEFAULT_KEYWORDS)[0]  # zero keyword hits →
 # tiebreak outcome when every count is zero)
 
 
-def _score_features(feats: DataFrame, keywords: Dict[str, str]) -> DataFrame:
-    """Keyword scorer as explode + broadcast dim join + argmax.
+def _with_scores(feats: DataFrame, keywords: Dict[str, str]) -> DataFrame:
+    """Append (pred_label, pred_score) as a pure map-side expression —
+    no explode, no dim join, no aggregation, no shuffle (r7).
 
-    (An earlier all-expression variant — 36 size(filter(...)) subtrees
-    inside array_min — produced a plan Catalyst took ~60s to optimize;
-    the join form plans in milliseconds and every aggregation below is
-    satisfied by the mention_id partitioning, so it adds no exchange.)
-    Returns (mention_id, pred_label, pred_score).
-    """
-    spark = feats.sparkSession
-    kw_dim = F.broadcast(spark.createDataFrame(
-        [(v, k) for k, v in sorted(keywords.items())],
-        "kw string, category string",
-    ))
-    hits = (
-        feats.select("mention_id",
-                     F.explode(F.split(F.lower("feature_text"), " ")).alias("kw"))
-        .join(kw_dim, "kw")
-        .groupBy("mention_id", "category")
-        .agg(F.count("*").alias("cnt"))
+    Per category the keyword-hit count is `size(toks) −
+    size(array_remove(toks, kw))` (array_remove drops every occurrence,
+    so the size delta IS the multiset count); the argmax with the
+    (count desc, category asc) tiebreak is array_min over the 36
+    (−count, category) structs. A mention with zero hits everywhere
+    argmaxes to the lexicographically-first category = FALLBACK_LABEL
+    with score 0 — exactly the old absent-row + coalesce outcome, so
+    the function is TOTAL and needs no fold-back join.
+
+    The token array is materialized in its own projection and must not
+    be collapsed into the 72-reference scorer projection (Catalyst
+    would re-inline the split+lower per reference — measured 13×
+    slower). CollapseProject already refuses to duplicate a non-cheap
+    multiply-referenced alias; the nondeterministic _nocollapse column
+    is a second, explicit guard. Measured vs the r6 explode +
+    broadcast-join + two-groupBy scorer: 2.46 s → 0.59 s warm on a
+    450k-mention corpus, and the classified stage loses its exchanges.
+    (The r2-r6 explode+join shape replaced an even earlier 36×
+    size(filter(...)) variant that took Catalyst ~60 s to optimize;
+    array_remove has no lambda, so this plans in milliseconds.)"""
+    tokd = (
+        feats.withColumn("_toks", F.split(F.lower("feature_text"), " "))
+        .withColumn("_nocollapse", F.monotonically_increasing_id())
     )
+    structs = []
+    for cat, kw in sorted(keywords.items()):
+        cnt = (F.size(F.col("_toks"))
+               - F.size(F.array_remove(F.col("_toks"), kw)))
+        structs.append(F.struct((-cnt).alias("neg"),
+                                F.lit(cat).alias("category")))
+    best = F.array_min(F.array(*structs))
     return (
-        hits.groupBy("mention_id")
-        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
-                            F.col("category").alias("category"))).alias("m"))
-        .select("mention_id", F.col("m.category").alias("pred_label"),
-                (-F.col("m.neg")).alias("pred_score"))
+        tokd.withColumn("pred_label", best["category"])
+        .withColumn("pred_score", (-best["neg"]).cast("long"))
+        .drop("_toks", "_nocollapse")
     )
+
+
+def _score_features(feats: DataFrame, keywords: Dict[str, str]) -> DataFrame:
+    """Slim (mention_id, pred_label, pred_score) frame for the ensemble
+    voter. TOTAL since r7 (every mention appears, zero-hit mentions
+    carry FALLBACK_LABEL/0) — see _with_scores."""
+    return _with_scores(
+        feats.select("mention_id", "feature_text"), keywords
+    ).select("mention_id", "pred_label", "pred_score")
 
 
 def classify(enriched: DataFrame, keywords: Dict[str, str] | None = None) -> DataFrame:
+    """Map-only classification (r7): scores are appended to the
+    enriched rows directly — the former scorer⋈enriched fold-back join
+    (and its two exchanges) no longer exists."""
     keywords = keywords or DEFAULT_KEYWORDS
     feats = assemble_features(enriched)
-    scored = _score_features(feats, keywords)
-    # shuffle_hash on the slim scored side: the planner's sort-merge
-    # would Tungsten-sort the WIDE enriched stream (marked_text +
-    # summaries per row) just to attach a 3-column per-mention score;
-    # hashing the slim side streams the wide side unsorted (guide §3.1
-    # — same rationale as enrich.attach_decisions)
-    return (
-        enriched.join(scored.hint("shuffle_hash"), "mention_id", "left")
-        .withColumn("pred_label",
-                    F.coalesce("pred_label", F.lit(FALLBACK_LABEL)))
-        .withColumn("pred_score", F.coalesce("pred_score", F.lit(0)))
-    )
+    return _with_scores(feats, keywords).drop("feature_text")
 
 
 FEATURE_VARIANTS = [

@@ -41,7 +41,11 @@ from kgpipe.triples import emit_triples
 # SLOWER (25.1 s vs 22.6 at local[8]; ~3× degradation at 32 cores in
 # r2) because the aggregation feeds a fold-back join. Pass
 # skip_cuts=() to restore a cut table at every sub-step.
-SINGLE_CONSUMER_CUTS = ("candidates", "hypotheses", "ranked")
+# "enriched" joined the list in r7: the map-only classifier
+# (classify._with_scores) removed the scorer fold-back join, so
+# classify is now enriched's single consumer and the cut only cost a
+# ~190 MB checkpoint write+read per run.
+SINGLE_CONSUMER_CUTS = ("candidates", "hypotheses", "ranked", "enriched")
 
 
 def surfaces_df_from_dims(alias_map: DataFrame,
