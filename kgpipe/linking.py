@@ -84,6 +84,76 @@ def score_hypotheses(
     )
 
 
+def score_hypotheses_inrow(
+    mentions: DataFrame,
+    mention_counts: DataFrame,
+    title_map: DataFrame,
+    beam: int = DEFAULT_BEAM,
+    max_candidates: int = 8,
+) -> DataFrame:
+    """score_hypotheses ∘ generate_candidates with ZERO exchanges
+    before the beam window (r7).
+
+    Candidates are attached in-row (attach_candidates: broadcast
+    probes + per-row merge/sort/cap, no groupBy), exploded, broadcast-
+    joined to title_map, and scored while the mention's token array is
+    still ON the row — so the r6 ctx re-join (which shuffled every
+    mention's token array into the hypothesis stream, the heaviest
+    exchange of the linking block at sf1.0, ~149 MB after dedup) does
+    not exist. The first exchange of the whole linking chain is the
+    beam window, which carries slim (mention_id, qid, hyp_text,
+    hyp_len, hyp_score) rows.
+
+    Output schema and values identical to
+    score_hypotheses(generate_candidates(...), ...): candidate sets
+    match (attach_candidates merges/caps exactly like the groupBy
+    form), overlap counts DISTINCT common tokens either way, and the
+    scoring expressions are the same trees (equivalence pytest +
+    identical q25 oracle hash). Measured sf1.0 warm linked block:
+    6.07 → 3.99 s at local[32]; 4.02 → 3.89 s at local[8] (the r1
+    all-array pathology does not apply — each interpreted array
+    expression here has exactly one consumer and is exploded
+    immediately)."""
+    from kgpipe.candidates import attach_candidates
+
+    wc = attach_candidates(mentions, mention_counts,
+                           max_candidates=max_candidates)
+    cand_rows = wc.select(
+        "mention_id", "tokens", F.explode("candidates").alias("_c")
+    ).select("mention_id", "tokens",
+             F.col("_c.qid").alias("qid"), F.col("_c.cnt").alias("cnt"))
+    hyp = (
+        cand_rows.join(F.broadcast(title_map), "qid")
+        .withColumn("hyp_text", F.concat_ws(" >> ", F.col("title"),
+                                            F.col("lang")))
+        .withColumn("hyp_len", F.size(F.split(F.col("hyp_text"), " ")))
+        .withColumn("title_tokens", F.split(F.lower(F.col("title")), " "))
+        .withColumn(
+            "overlap",
+            F.size(F.array_intersect(F.col("tokens"), F.col("title_tokens")))
+            / F.size(F.col("title_tokens")),
+        )
+        .withColumn(
+            "hyp_score",
+            F.lit(0.9) * F.log(F.lit(1.0) + F.col("cnt"))
+            + F.lit(1.5) * F.col("overlap")
+            - F.lit(0.35) * F.col("hyp_len")
+            - F.lit(3.0),
+        )
+        # slim BEFORE the window exchange (guide §2.3)
+        .select("mention_id", "qid", "hyp_text", "hyp_len", "hyp_score")
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("hyp_score").desc(), F.col("hyp_text").asc()
+    )
+    return (
+        hyp.withColumn("beam_rank", F.row_number().over(w))
+        .filter(F.col("beam_rank") <= beam)
+        .select("mention_id", "qid", "hyp_text", "hyp_len", "hyp_score",
+                "beam_rank")
+    )
+
+
 def marginalize(hypotheses: DataFrame,
                 lenpen: float = MARGINALIZE_LENPEN,
                 details: bool = True) -> DataFrame:

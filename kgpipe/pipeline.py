@@ -276,15 +276,14 @@ def run_pipeline(
         # broadcast-join tagger the fused plan is faster at every
         # measured parallelism and saves ~10 driver jobs per run.
         from kgpipe.linking import (
-            marginalize, predictions_per_mention, score_hypotheses,
+            marginalize, predictions_per_mention, score_hypotheses_inrow,
         )
 
-        cands = cut(generate_candidates(mentions, mention_counts,
-                                        max_candidates=max_candidates),
-                    "candidates")
-        hyps = cut(score_hypotheses(cands, mentions, _dim("title_map"),
-                                    beam=beam),
-                   "hypotheses")
+        # r7: candidates + hypothesis scoring run in-row (no candidate
+        # groupBy, no ctx token re-join) — see score_hypotheses_inrow
+        hyps = cut(score_hypotheses_inrow(
+            mentions, mention_counts, _dim("title_map"),
+            beam=beam, max_candidates=max_candidates), "hypotheses")
         # details=False: texts/scores are per-QID diagnostics nothing in
         # this pipeline reads; slim rows through the marginalize agg,
         # the rank window and the fold-back join (score bit-identical)

@@ -140,3 +140,37 @@ def test_majority_vote_tiebreak(spark):
            for r in majority_vote(df, ["k"], "label").collect()}
     assert out["k1"] == "B-X"
     assert out["k2"] == "B-Y"  # tie → label asc ("B-Y" < "O")
+
+
+def test_score_hypotheses_inrow_equivalence(spark):
+    """The r7 zero-exchange hypothesis path (attach_candidates in-row +
+    on-row overlap) must reproduce score_hypotheses∘generate_candidates
+    row for row — candidates, hyp text/len, float scores, beam ranks."""
+    from kgpipe.candidates import generate_candidates
+    from kgpipe.linking import score_hypotheses, score_hypotheses_inrow
+
+    mentions = spark.createDataFrame(
+        [("m1", "eli lilly", ["drug", "maker", "eli", "lilly", "corp"]),
+         ("m2", "iker", ["iker", "of", "spain", "casillas"]),
+         ("m3", "nothing", ["zz", "top"]),
+         ("m4", "eli", ["eli", "alone"])],
+        "mention_id string, text string, tokens array<string>")
+    mc = spark.createDataFrame(
+        [("eli lilly", "Q1", 10), ("eli lilly", "Q2", 3),
+         ("eli", "Q3", 7), ("iker", "Q4", 2), ("iker", "Q5", 2),
+         ("Eli", "Q6", 1)],
+        "mention string, qid string, cnt long")
+    tm = spark.createDataFrame(
+        [("en", "Eli Lilly Corp", "Q1"), ("de", "Eli Lilly", "Q1"),
+         ("en", "Lilly", "Q2"), ("en", "Eli", "Q3"),
+         ("en", "Iker Casillas", "Q4")],
+        "lang string, title string, qid string")
+    old = score_hypotheses(
+        generate_candidates(mentions, mc, max_candidates=2),
+        mentions, tm, beam=3)
+    new = score_hypotheses_inrow(mentions, mc, tm, beam=3,
+                                 max_candidates=2)
+    o = sorted(tuple(r) for r in old.collect())
+    n = sorted(tuple(r) for r in new.collect())
+    assert o == n
+    assert len(n) > 0
