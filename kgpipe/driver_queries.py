@@ -32,6 +32,29 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny literal dims as JVM LocalTableScan instead of a pickled-RDD
+    scan: createDataFrame(list) parallelizes to defaultParallelism
+    pickled partitions, so every downstream job pays a 32-task
+    Python-worker round-trip for a handful of rows (measured ~0.5 s per
+    materialization at local[32] — the q25 dim jobs burned 7-22
+    executor-seconds EACH on 7-row inputs). Routing the same rows
+    through pandas+Arrow yields a LocalTableScan (row-count partitions,
+    zero Python at task time, ~40 ms to checkpoint). Values identical —
+    same rows, same schema, oracle-hash-verified; falls back to plain
+    createDataFrame if the Arrow conversion rejects a type."""
+    import pandas as pd
+
+    names = schema.fieldNames() if hasattr(schema, "fieldNames") else None
+    try:
+        if names is None:
+            raise ValueError("string schema: keep the classic path")
+        pdf = pd.DataFrame(rows, columns=names, dtype=object)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema=schema)
+
+
 def doc_transcripts(spark, sf_dir) -> DataFrame:
     w = Window.partitionBy("source").orderBy("doc_id")
     return (
@@ -1187,8 +1210,10 @@ def q_span_mentions(spark, sf_dir):
     from kgpipe.mentions import detect_mentions_join, tokenize
 
     tr = tokenize(doc_transcripts(spark, sf_dir))
-    surf = spark.createDataFrame([(s,) for s in SPAN_SURFACES],
-                                 "surface string")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    surf = local_df(spark, [(s,) for s in SPAN_SURFACES],
+                    StructType([StructField("surface", StringType())]))
     return detect_mentions_join(tr, surf, broadcast_dim=True).select(
         "conv_id", "turn_idx", "entity_id", "mention_id",
         "text", "start", "end", "marked_text",
@@ -1216,10 +1241,10 @@ def q_kg_triples(spark, sf_dir):
         args_rows.append((qid, "P31", f"Q{1000 + ((i + 1) % len(LEXICON)) * 3}", 0))
         summ_rows.append((w.title(), f"summary page for {w}"))
 
-    entity_kb = spark.createDataFrame(kb_rows, schema=schemas.ENTITY_KB)
-    kb_args = spark.createDataFrame(args_rows, schema=schemas.KB_ARGS)
-    mention_counts = spark.createDataFrame(mc_rows, schema=schemas.MENTION_COUNTS)
-    summaries = spark.createDataFrame(summ_rows, schema=schemas.WIKI_SUMMARIES)
+    entity_kb = local_df(spark, kb_rows, schemas.ENTITY_KB)
+    kb_args = local_df(spark, args_rows, schemas.KB_ARGS)
+    mention_counts = local_df(spark, mc_rows, schemas.MENTION_COUNTS)
+    summaries = local_df(spark, summ_rows, schemas.WIKI_SUMMARIES)
 
     tr = doc_transcripts(spark, sf_dir).select(
         "conv_id", "turn_idx",

@@ -167,6 +167,69 @@ def attach_decisions(linked: DataFrame, decisions: DataFrame) -> DataFrame:
     )
 
 
+def attach_predictions_and_decisions(mentions: DataFrame,
+                                     predictions: DataFrame,
+                                     decisions: DataFrame) -> DataFrame:
+    """Terminal wide attach (r7): fold BOTH the slim per-mention
+    prediction frame (linking.predictions_frame) and the decision frame
+    onto the mention rows in one join chain keyed on mention_id — the
+    wide mention rows (marked_text etc.) cross exactly ONE exchange,
+    where the r6 shape shuffled them twice (fold-back join, then the
+    decisions attach) with a ~150 MB-at-sf1.0 stage-cut materialization
+    in between.
+
+    Equivalence with attach_decisions(predictions_per_mention(...), ...):
+    a mention absent from `predictions` had zero surviving candidates;
+    in the r6 shape its ["Q0"] sentinel rode INTO acceptance_decisions,
+    where Q0 (never in kb_context) produced exactly the constant
+    decision row (acc NULL → sentinel summaries/titles, empty argument
+    arrays). Those constants are re-added here via coalesce, so feeding
+    acceptance_decisions the slim frame (which simply lacks those
+    mentions) yields an identical enriched table — row-for-row
+    (equivalence pytest + q25 oracle hash).
+
+    Both small sides take the shuffle_hash hint for the
+    attach_decisions reason (the decisions/prediction builds must not
+    be driver-broadcast at corpus scale; per-mention rows stream).
+
+    The sentinel literals ride inside when(true, …) so the coalesced
+    columns stay NULLABLE — bit-identical schema (not just values) to
+    the r6 shape, whose decision columns came out of a left join."""
+    def _n(c):  # keep nullable=True like the r6 left-join columns
+        # (schema-identical, not just value-identical). A foldable
+        # always-true guard gets simplified away by the analyzer, so
+        # the condition references a non-null column: length() of a
+        # concat_ws is ≥ 0 on every row, the branch always fires, and
+        # CaseWhen-without-else stays nullable. Coalesce evaluates
+        # lazily, so the guard only runs on the sentinel rows.
+        return F.when(
+            F.length(F.concat_ws("", F.col("mention_id"))) >= 0, c)
+
+    return (
+        mentions
+        .join(predictions.hint("shuffle_hash"), "mention_id", "left")
+        .join(decisions.hint("shuffle_hash"), "mention_id", "left")
+        .withColumn("genre_prediction",
+                    F.coalesce("genre_prediction", F.array(F.lit(Q0))))
+        .withColumn("wikidata_summary",
+                    F.coalesce("wikidata_summary",
+                               _n(F.lit(NO_WIKIDATA_SUMMARY))))
+        .withColumn("wikidata_arguments",
+                    F.coalesce("wikidata_arguments",
+                               _n(F.array().cast("array<string>"))))
+        .withColumn("arg_pairs",
+                    F.coalesce("arg_pairs", _n(F.expr("array()").cast(
+                        "array<struct<prop:string,label:string>>"))))
+        .withColumn("wikipedia_title",
+                    F.coalesce("wikipedia_title",
+                               _n(F.lit(NO_WIKIPEDIA_TITLE))))
+        .withColumn("wikipedia_summary",
+                    F.coalesce("wikipedia_summary",
+                               _n(F.lit(NO_WIKIPEDIA_SUMMARY))))
+        .withColumn("link_qid", F.coalesce("accepted_qid", F.lit(Q0)))
+    )
+
+
 def accept_and_enrich(
     linked: DataFrame,
     kb_context: DataFrame,

@@ -216,16 +216,28 @@ def marginalize(hypotheses: DataFrame,
     return marg.withColumn("rank", F.row_number().over(w))
 
 
+def predictions_frame(ranked: DataFrame) -> DataFrame:
+    """The slim (mention_id, genre_prediction) fold of the ranked QIDs:
+    genre_prediction = [qid by rank asc]. Mentions with zero surviving
+    candidates are ABSENT here (predictions_per_mention's left join +
+    coalesce adds their ["Q0"] sentinel). Split out in r7 so the
+    pipeline can cut/materialize THIS frame (~10 B/mention) instead of
+    the wide fold-back join output (~300+ B/mention with marked_text):
+    the decision stage consumes only these two columns, so the wide
+    mention rows then cross a single exchange — in the terminal
+    attach — instead of two (guide §2.3)."""
+    return ranked.groupBy("mention_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rank, qid))), x -> x.qid)"
+        ).alias("genre_prediction")
+    )
+
+
 def predictions_per_mention(mentions: DataFrame, ranked: DataFrame) -> DataFrame:
     """Fold ranked QIDs back to one row per mention:
     genre_prediction = [qid by rank asc]; mentions with zero surviving
     candidates get the ["Q0"] sentinel — the terminal rung of the
     reference's error ladder (run_genre.py:296-364)."""
-    per_mention = ranked.groupBy("mention_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(rank, qid))), x -> x.qid)"
-        ).alias("genre_prediction")
-    )
     # join strategy note: a shuffle_hash hint on the per_mention build
     # side (to avoid sorting the wide mention stream) measurably raised
     # GC on 2g executors (hash build of prediction arrays) without
@@ -233,7 +245,7 @@ def predictions_per_mention(mentions: DataFrame, ranked: DataFrame) -> DataFrame
     # replaces a catastrophic driver BROADCAST, not a Tungsten sort.
     # Keep the planner default here.
     return (
-        mentions.join(per_mention, "mention_id", "left")
+        mentions.join(predictions_frame(ranked), "mention_id", "left")
         .withColumn(
             "genre_prediction",
             F.coalesce("genre_prediction", F.array(F.lit(Q0))),

@@ -276,7 +276,7 @@ def run_pipeline(
         # broadcast-join tagger the fused plan is faster at every
         # measured parallelism and saves ~10 driver jobs per run.
         from kgpipe.linking import (
-            marginalize, predictions_per_mention, score_hypotheses_inrow,
+            marginalize, predictions_frame, score_hypotheses_inrow,
         )
 
         # r7: candidates + hypothesis scoring run in-row (no candidate
@@ -288,25 +288,42 @@ def run_pipeline(
         # this pipeline reads; slim rows through the marginalize agg,
         # the rank window and the fold-back join (score bit-identical)
         ranked = cut(marginalize(hyps, details=False), "ranked")
-        # tokens are dropped at the fold-back: no operator below linking
-        # reads them, yet they were the widest column (a ~100-string
-        # array per mention) riding every downstream cut, the decisions
-        # explode, the shuffle_hash attach join and the classify scan —
-        # measured as the bulk of the ~470-790 MB shuffle streams in the
-        # sf1.0 eventlog (guide §2.3 "project before the exchange")
-        linked = cut(predictions_per_mention(mentions.drop("tokens"),
-                                             ranked), "linked")
-        # enrich split the same way: decision aggregation cut before the
-        # fold-back join (fused, it degrades ~3× at 32 cores)
-        from kgpipe.enrich import acceptance_decisions, attach_decisions
+        # r7 slim fold-back: cut the (mention_id, genre_prediction)
+        # frame, NOT the wide fold-back join output. The r6 shape
+        # materialized `linked` (mention rows + predictions, ~150 MB at
+        # sf1.0 with marked_text riding every row) and then shuffled it
+        # AGAIN into the decisions attach — the wide rows crossed two
+        # exchanges plus a checkpoint. The decision stage only reads
+        # (mention_id, genre_prediction), so it now consumes the slim
+        # cut directly and the wide mention rows cross ONE exchange, in
+        # the terminal attach (guide §2.3 "project before the
+        # exchange"; equivalence: enrich.attach_predictions_and_decisions).
+        preds = cut(predictions_frame(ranked), "predictions")
+        # decision aggregation still cut before the terminal attach
+        # (fused, it degrades ~3× at 32 cores)
+        from kgpipe.enrich import (
+            acceptance_decisions, attach_predictions_and_decisions,
+        )
 
         decisions = cut(
-            acceptance_decisions(linked, _dim("kb_context"), wiki_summaries,
+            acceptance_decisions(preds, _dim("kb_context"), wiki_summaries,
                                  language=language,
                                  summaries_dim=_dim("summaries_dim")),
             "decisions",
         )
-        enriched = cut(attach_decisions(linked, decisions), "enriched")
+        # tokens are dropped at the attach: no operator below linking
+        # reads them, yet they were the widest column (a ~100-string
+        # array per mention) riding every downstream cut and scan
+        enriched = cut(attach_predictions_and_decisions(
+            mentions.drop("tokens"), preds, decisions), "enriched")
+        # lazy compat frame for result-dict consumers (smoke scripts);
+        # costs nothing unless evaluated
+        linked = enriched.select(
+            *[c for c in enriched.columns
+              if c not in ("accepted_qid", "accepted_lang",
+                           "wikidata_summary", "wikidata_arguments",
+                           "arg_pairs", "wikipedia_title",
+                           "wikipedia_summary", "link_qid")])
 
     if canonical_map is not None:
         from kgpipe.canonical import apply_canonicalization

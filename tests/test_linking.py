@@ -174,3 +174,50 @@ def test_score_hypotheses_inrow_equivalence(spark):
     n = sorted(tuple(r) for r in new.collect())
     assert o == n
     assert len(n) > 0
+
+
+def test_slim_foldback_equivalence(spark):
+    """r7 slim fold-back (predictions_frame cut + terminal
+    attach_predictions_and_decisions) is row-identical — schema order
+    included — to the r6 composition (wide predictions_per_mention →
+    acceptance_decisions → attach_decisions), INCLUDING the
+    zero-candidate sentinel path (m0 below never reaches `ranked`, so
+    the slim path must reconstruct the constant decision row that the
+    r6 path derived from the exploded ["Q0"] sentinel)."""
+    from kgpipe.enrich import (
+        acceptance_decisions, attach_decisions,
+        attach_predictions_and_decisions,
+    )
+    from kgpipe.linking import predictions_frame, predictions_per_mention
+
+    ctx, summaries = _enrich_fixture(spark)
+    mentions = spark.createDataFrame(
+        [("m0", "zero cand", "x"), ("m1", "ok", "y"), ("m2", "de only", "z")],
+        "mention_id string, text string, marked_text string",
+    )
+    ranked = spark.createDataFrame(
+        [("m1", "Q3", -0.5, 1), ("m1", "Q1", -1.0, 2), ("m2", "Q2", -0.2, 1)],
+        "mention_id string, qid string, score double, rank int",
+    )
+
+    old_linked = predictions_per_mention(mentions, ranked)
+    old_dec = acceptance_decisions(old_linked, ctx, summaries, "en")
+    old = attach_decisions(old_linked, old_dec)
+
+    preds = predictions_frame(ranked)
+    new_dec = acceptance_decisions(preds, ctx, summaries, "en")
+    new = attach_predictions_and_decisions(mentions, preds, new_dec)
+
+    assert old.columns == new.columns
+    assert old.schema == new.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # the sentinel row itself, explicitly
+    m0 = {r["mention_id"]: r for r in new.collect()}["m0"]
+    assert m0["genre_prediction"] == ["Q0"]
+    assert m0["link_qid"] == "Q0"
+    assert m0["accepted_qid"] is None and m0["accepted_lang"] is None
+    assert m0["wikidata_summary"] == schemas.NO_WIKIDATA_SUMMARY
+    assert m0["wikidata_arguments"] == [] and m0["arg_pairs"] == []
+    assert m0["wikipedia_title"] == schemas.NO_WIKIPEDIA_TITLE
+    assert m0["wikipedia_summary"] == schemas.NO_WIKIPEDIA_SUMMARY
