@@ -118,8 +118,15 @@ def score_hypotheses_inrow(
 
     wc = attach_candidates(mentions, mention_counts,
                            max_candidates=max_candidates)
+    # array_distinct ONCE per mention, below the explode (the Generate
+    # keeps its input projections per input row, so the dedup runs 450k
+    # times, not 3.6M): overlap counts DISTINCT common tokens either
+    # way (array_intersect dedups), and the per-hypothesis
+    # array_intersect then scans ~40% fewer elements (guide §2.3 —
+    # same trick the r6 ctx exchange used, applied in-row)
     cand_rows = wc.select(
-        "mention_id", "tokens", F.explode("candidates").alias("_c")
+        "mention_id", F.array_distinct("tokens").alias("tokens"),
+        F.explode("candidates").alias("_c")
     ).select("mention_id", "tokens",
              F.col("_c.qid").alias("qid"), F.col("_c.cnt").alias("cnt"))
     hyp = (
