@@ -267,7 +267,19 @@ def run_pipeline(
             finally:
                 spark.sparkContext.setJobDescription(None)
 
-        mentions = cut(stage_mentions(turns), "mentions")
+        # r7 turn-level tokens: the mention cut used to materialize the
+        # turn's ~100-string token array PER MENTION (~9 mentions/turn
+        # at bench scale → the array stored 9×, the dominant bytes of
+        # the stage and of executor storage). Tokens now stay on a
+        # turn-level cut (one array per turn); the mention cut drops
+        # them, and the hypothesis stage re-attaches them with one
+        # narrow join on (conv_id, turn_idx) that is fused into its
+        # first stage. The turns cut also dedupes the tagger's two
+        # internal scans of the turn frame (candidate explode + final
+        # span join read the same checkpoint instead of recomputing
+        # scan+order-window twice).
+        turns_cut = cut(turns, "turns")
+        mentions = cut(stage_mentions(turns_cut).drop("tokens"), "mentions")
         # Linking sub-steps: candidates/hypotheses/ranked are single-
         # consumer and fuse by default (SINGLE_CONSUMER_CUTS above).
         # The historical anti-scaling of the fused plan (18s@8 →
@@ -279,10 +291,17 @@ def run_pipeline(
             marginalize, predictions_frame, score_hypotheses_inrow,
         )
 
+        # shuffle_hash: the turn side is the smaller build side; a
+        # driver broadcast of every turn's token array would not scale
+        # (and measured slower locally than the shuffled build)
+        m_tok = mentions.join(
+            turns_cut.select("conv_id", "turn_idx", "tokens")
+            .hint("shuffle_hash"),
+            ["conv_id", "turn_idx"])
         # r7: candidates + hypothesis scoring run in-row (no candidate
         # groupBy, no ctx token re-join) — see score_hypotheses_inrow
         hyps = cut(score_hypotheses_inrow(
-            mentions, mention_counts, _dim("title_map"),
+            m_tok, mention_counts, _dim("title_map"),
             beam=beam, max_candidates=max_candidates), "hypotheses")
         # details=False: texts/scores are per-QID diagnostics nothing in
         # this pipeline reads; slim rows through the marginalize agg,
@@ -311,11 +330,10 @@ def run_pipeline(
                                  summaries_dim=_dim("summaries_dim")),
             "decisions",
         )
-        # tokens are dropped at the attach: no operator below linking
-        # reads them, yet they were the widest column (a ~100-string
-        # array per mention) riding every downstream cut and scan
+        # mentions is already token-free (turn-level tokens cut above),
+        # so the terminal attach ships no token arrays
         enriched = cut(attach_predictions_and_decisions(
-            mentions.drop("tokens"), preds, decisions), "enriched")
+            mentions, preds, decisions), "enriched")
         # lazy compat frame for result-dict consumers (smoke scripts);
         # costs nothing unless evaluated
         linked = enriched.select(
