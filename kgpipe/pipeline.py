@@ -278,7 +278,12 @@ def run_pipeline(
         # internal scans of the turn frame (candidate explode + final
         # span join read the same checkpoint instead of recomputing
         # scan+order-window twice).
-        turns_cut = cut(turns, "turns")
+        # the tagger and the hypothesis token join consume ONLY
+        # (conv_id, turn_idx, tokens): mention text/marked_text are
+        # token-slice reconstructions, so the raw text column never
+        # needs to ride the cut
+        turns_cut = cut(
+            turns.select("conv_id", "turn_idx", "tokens"), "turns")
         mentions = cut(stage_mentions(turns_cut).drop("tokens"), "mentions")
         # Linking sub-steps: candidates/hypotheses/ranked are single-
         # consumer and fuse by default (SINGLE_CONSUMER_CUTS above).
