@@ -129,12 +129,22 @@ def score_hypotheses_inrow(
         F.explode("candidates").alias("_c")
     ).select("mention_id", "tokens",
              F.col("_c.qid").alias("qid"), F.col("_c.cnt").alias("cnt"))
-    hyp = (
-        cand_rows.join(F.broadcast(title_map), "qid")
+    # hyp_text / hyp_len / title_tokens depend only on the title row,
+    # so they are derived ON THE DIM under the broadcast — evaluated
+    # once per (qid, lang) instead of once per hypothesis row (3.6M×
+    # at sf1.0; two splits + a concat per row were pure repetition).
+    # Identical expressions, identical values — only the evaluation
+    # site moves (guide §3.1 "enrich the build side").
+    tdim = (
+        title_map
         .withColumn("hyp_text", F.concat_ws(" >> ", F.col("title"),
                                             F.col("lang")))
         .withColumn("hyp_len", F.size(F.split(F.col("hyp_text"), " ")))
         .withColumn("title_tokens", F.split(F.lower(F.col("title")), " "))
+        .select("qid", "hyp_text", "hyp_len", "title_tokens")
+    )
+    hyp = (
+        cand_rows.join(F.broadcast(tdim), "qid")
         .withColumn(
             "overlap",
             F.size(F.array_intersect(F.col("tokens"), F.col("title_tokens")))
