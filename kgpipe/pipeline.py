@@ -296,12 +296,18 @@ def run_pipeline(
             marginalize, predictions_frame, score_hypotheses_inrow,
         )
 
-        # shuffle_hash: the turn side is the smaller build side; a
-        # driver broadcast of every turn's token array would not scale
-        # (and measured slower locally than the shuffled build)
+        # planner-default join (SMJ at scale) — NO shuffle_hash hint:
+        # hash-building a partition's worth of turn TOKEN ARRAYS
+        # re-creates exactly the tight-heap pathology the r6 ctx-join
+        # note below documents (score_hypotheses join-strategy note:
+        # hash builds of token arrays raised JVM GC ~6× on 2g
+        # executors while the Tungsten SMJ sort spills compressed and
+        # GC-free). Measured here too: with the hint a 2g/2-core
+        # standalone leg ground >30 min inside this stage (executor
+        # heap pinned at Xmx, both cores burning) where the whole r6
+        # leg ran ~11 min.
         m_tok = mentions.join(
-            turns_cut.select("conv_id", "turn_idx", "tokens")
-            .hint("shuffle_hash"),
+            turns_cut.select("conv_id", "turn_idx", "tokens"),
             ["conv_id", "turn_idx"])
         # r7: candidates + hypothesis scoring run in-row (no candidate
         # groupBy, no ctx token re-join) — see score_hypotheses_inrow
