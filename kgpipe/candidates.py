@@ -124,8 +124,16 @@ def attach_candidates(
     `candidates array<struct<qid, cnt>>` column; preserves the input's
     partitioning (zero exchanges — the scale path for 10^12 mentions).
     """
+    # per-(mention, qid) pre-sum BEFORE collecting: generate_candidates
+    # sums duplicate (mention, qid) source rows through its groupBy
+    # anyway, so folding them here changes nothing — and it guarantees
+    # each probe array carries UNIQUE qids, which the linear merge
+    # below depends on (each qid then appears at most twice in the
+    # two-probe concat: once per probe).
     grouped = F.broadcast(
-        mention_counts.groupBy("mention").agg(
+        mention_counts.groupBy("mention", "qid")
+        .agg(F.sum("cnt").alias("cnt"))
+        .groupBy("mention").agg(
             F.collect_list(F.struct("qid", "cnt")).alias("entries")
         )
     )
@@ -150,18 +158,41 @@ def attach_candidates(
             F.col("_e1"),
             F.expr("array()").cast("array<struct<qid:string,cnt:bigint>>"),
         )
+    # Linear per-QID merge (r7): the old form computed, for EVERY
+    # distinct qid, an interpreted filter+aggregate pass over the whole
+    # combined array — O(k²) expression evaluations per mention, which
+    # at a real candidate fan-out (84 qids/surface in the scaling
+    # fixture → k≈168 after the two probes) ground a 2-core standalone
+    # leg for >15 min inside this expression (jstack: ArrayFilter in
+    # ArrayAggregate). Now: sort by qid once, then one indexed
+    # transform pass sums each qid's ≤2 adjacent occurrences (the
+    # per-probe arrays carry unique qids — enforced in the broadcast
+    # build above) — O(k log k) with integer sums, so per-QID totals
+    # are bit-identical to the old fold. get() is 0-based and NULL out
+    # of range (never an ANSI throw); if(NULL-cond) takes the else
+    # branch, so the first/last elements merge correctly.
+    sorted_ = ("array_sort(_combined, (l, r) ->"
+               " case when l.qid < r.qid then -1"
+               " when l.qid > r.qid then 1 else 0 end)")
     out = (
         j.withColumn("_combined", combined)
+        .withColumn("_sorted", F.expr(sorted_))
         .withColumn(
             "candidates",
             F.expr(
-                # per-QID count sum over both probes, deterministic sort
-                # (cnt desc, numeric QID asc), top-k cap — all in-row
+                # first-occurrence rows keep (qid, own cnt + next cnt if
+                # same qid); later occurrences become NULL and are
+                # filtered; then the deterministic (cnt desc, numeric
+                # QID asc) sort and the top-k cap — all in-row
                 "slice(array_sort("
-                "  transform(array_distinct(transform(_combined, x -> x.qid)),"
-                "    q -> struct(q as qid,"
-                "      aggregate(filter(_combined, x -> x.qid = q),"
-                "                cast(0 as bigint), (a, x) -> a + x.cnt) as cnt)),"
+                "  filter("
+                "    transform(_sorted, (x, i) ->"
+                "      if(get(_sorted, i - 1).qid = x.qid, null,"
+                "         struct(x.qid as qid,"
+                "           x.cnt + if(get(_sorted, i + 1).qid = x.qid,"
+                "                      get(_sorted, i + 1).cnt,"
+                "                      cast(0 as bigint)) as cnt))),"
+                "    s -> s is not null),"
                 "  (l, r) -> case when l.cnt > r.cnt then -1"
                 "                 when l.cnt < r.cnt then 1"
                 "                 when cast(substring(l.qid, 2, 18) as long)"
@@ -172,6 +203,6 @@ def attach_candidates(
                 f"), 1, {int(max_candidates)})"
             ),
         )
-        .drop("_k1", "_k2", "_e1", "_e2", "_combined")
+        .drop("_k1", "_k2", "_e1", "_e2", "_combined", "_sorted")
     )
     return out

@@ -55,12 +55,22 @@ def score_hypotheses(
     # the tight-heap legs — the hash build of per-mention token arrays
     # raised JVM GC ~6× while the Tungsten SMJ sorts it replaced spill
     # compressed and GC-free. Keep the planner default (SMJ at scale).
-    hyp = (
-        candidates.join(F.broadcast(title_map), "qid")
-        .join(ctx, "mention_id")
-        .withColumn("hyp_text", F.concat_ws(" >> ", F.col("title"), F.col("lang")))
+    # hyp_text / hyp_len / title_tokens depend only on the title row —
+    # derived ON THE DIM under the broadcast (once per (qid, lang)
+    # instead of once per hypothesis row; identical expressions and
+    # values, only the evaluation site moves — same move as
+    # score_hypotheses_inrow)
+    tdim = (
+        title_map
+        .withColumn("hyp_text", F.concat_ws(" >> ", F.col("title"),
+                                            F.col("lang")))
         .withColumn("hyp_len", F.size(F.split(F.col("hyp_text"), " ")))
         .withColumn("title_tokens", F.split(F.lower(F.col("title")), " "))
+        .select("qid", "hyp_text", "hyp_len", "title_tokens")
+    )
+    hyp = (
+        candidates.join(F.broadcast(tdim), "qid")
+        .join(ctx, "mention_id")
         .withColumn(
             "overlap",
             F.size(F.array_intersect(F.col("ctx_tokens"), F.col("title_tokens")))

@@ -47,6 +47,15 @@ from kgpipe.triples import emit_triples
 # ~190 MB checkpoint write+read per run.
 SINGLE_CONSUMER_CUTS = ("candidates", "hypotheses", "ranked", "enriched")
 
+# Dictionary fan-out (max QIDs per surface) above which the linking
+# stage uses the join/groupBy/window candidate path instead of the
+# in-row merge: the in-row higher-order expressions are interpreted and
+# their per-mention cost grows with fan-out (see the decision comment
+# in run_pipeline); the join path is fan-out-insensitive (codegen'd).
+# 4 is conservative — at fan-out 4 the two probes give ≤8 in-row
+# entries, still a few interpreted evals per mention.
+IN_ROW_MAX_FANOUT = 4
+
 
 def surfaces_df_from_dims(alias_map: DataFrame,
                           mention_counts: DataFrame) -> DataFrame:
@@ -278,6 +287,22 @@ def run_pipeline(
         # internal scans of the turn frame (candidate explode + final
         # span join read the same checkpoint instead of recomputing
         # scan+order-window twice).
+        # fan-out statistic for the candidate-path choice below,
+        # computed CONCURRENTLY with the turn/mention cuts (one tiny
+        # dim aggregation; the thread overlaps its job with the stage
+        # jobs exactly like build_dims' deferred checkpoints)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _max_fanout():
+            row = (mention_counts.groupBy("mention")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .agg(F.max("n")).collect())
+            return (row[0][0] if row else 0) or 0
+
+        _fanout_pool = ThreadPoolExecutor(max_workers=1)
+        fanout_future = _fanout_pool.submit(_max_fanout)
+        _fanout_pool.shutdown(wait=False)
+
         # the tagger and the hypothesis token join consume ONLY
         # (conv_id, turn_idx, tokens): mention text/marked_text are
         # token-slice reconstructions, so the raw text column never
@@ -293,27 +318,52 @@ def run_pipeline(
         # broadcast-join tagger the fused plan is faster at every
         # measured parallelism and saves ~10 driver jobs per run.
         from kgpipe.linking import (
-            marginalize, predictions_frame, score_hypotheses_inrow,
+            marginalize, predictions_frame, score_hypotheses,
         )
 
         # planner-default join (SMJ at scale) — NO shuffle_hash hint:
         # hash-building a partition's worth of turn TOKEN ARRAYS
-        # re-creates exactly the tight-heap pathology the r6 ctx-join
-        # note below documents (score_hypotheses join-strategy note:
-        # hash builds of token arrays raised JVM GC ~6× on 2g
-        # executors while the Tungsten SMJ sort spills compressed and
-        # GC-free). Measured here too: with the hint a 2g/2-core
-        # standalone leg ground >30 min inside this stage (executor
-        # heap pinned at Xmx, both cores burning) where the whole r6
-        # leg ran ~11 min.
+        # re-creates exactly the tight-heap pathology the
+        # score_hypotheses join-strategy note documents (hash builds of
+        # token arrays raised JVM GC ~6× on 2g executors while the
+        # Tungsten SMJ sort spills compressed and GC-free). Measured
+        # here too: with the hint a 2g/2-core standalone leg ground
+        # >30 min inside this stage where the whole r6 leg ran ~11 min.
         m_tok = mentions.join(
             turns_cut.select("conv_id", "turn_idx", "tokens"),
             ["conv_id", "turn_idx"])
-        # r7: candidates + hypothesis scoring run in-row (no candidate
-        # groupBy, no ctx token re-join) — see score_hypotheses_inrow
-        hyps = cut(score_hypotheses_inrow(
-            m_tok, mention_counts, _dim("title_map"),
-            beam=beam, max_candidates=max_candidates), "hypotheses")
+        # Candidate-path choice is DATA-ADAPTIVE on the dictionary's
+        # fan-out (max QIDs per surface — one tiny aggregation over the
+        # dim, the same class of statistic a broadcast threshold uses):
+        #
+        # - small fan-out (≤ IN_ROW_MAX_FANOUT): the in-row path
+        #   (attach_candidates merge + on-row scoring,
+        #   score_hypotheses_inrow) — zero exchanges before the beam
+        #   window; measured ~1.5 s faster per sf1.0 run at the bench
+        #   lexicon's fan-out of 1.
+        # - larger fan-out: the JOIN/groupBy/window composition (every
+        #   operator whole-stage-codegen'd). The in-row per-row
+        #   higher-order expressions are INTERPRETED and their cost
+        #   scales with fan-out k: at the scaling fixture's 84
+        #   qids/surface (k≈168 entries after the two probes) even an
+        #   O(k log k) in-row merge costs ~1 ms/mention in interpreted
+        #   lambda evaluations, grinding a 2-core standalone leg
+        #   indefinitely (jstack: ArrayFilter inside ArrayAggregate)
+        #   where the join shape runs the same leg in ~11 min.
+        #   Parallelism and codegen must come from the plan, not from
+        #   per-row array programming (guide §2.5, §4).
+        fanout = fanout_future.result()
+        if fanout <= IN_ROW_MAX_FANOUT:
+            from kgpipe.linking import score_hypotheses_inrow
+
+            hyps = cut(score_hypotheses_inrow(
+                m_tok, mention_counts, _dim("title_map"),
+                beam=beam, max_candidates=max_candidates), "hypotheses")
+        else:
+            cands = generate_candidates(mentions, mention_counts,
+                                        max_candidates=max_candidates)
+            hyps = cut(score_hypotheses(cands, m_tok, _dim("title_map"),
+                                        beam=beam), "hypotheses")
         # details=False: texts/scores are per-QID diagnostics nothing in
         # this pipeline reads; slim rows through the marginalize agg,
         # the rank window and the fold-back join (score bit-identical)

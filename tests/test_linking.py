@@ -221,3 +221,38 @@ def test_slim_foldback_equivalence(spark):
     assert m0["wikidata_arguments"] == [] and m0["arg_pairs"] == []
     assert m0["wikipedia_title"] == schemas.NO_WIKIPEDIA_TITLE
     assert m0["wikipedia_summary"] == schemas.NO_WIKIPEDIA_SUMMARY
+
+
+def test_attach_candidates_linear_merge_stress(spark):
+    """The r7 linear in-row candidate merge (sorted adjacent-pair sum,
+    replacing the O(k²) per-qid filter scans) must equal
+    generate_candidates on a HEAVY fan-out: many qids per surface,
+    duplicate (mention, qid) source rows (pre-summed in the broadcast
+    build), exact+lowercase double-hit surfaces, and tie counts."""
+    from kgpipe.candidates import attach_candidates, generate_candidates
+
+    mc_rows = []
+    # surface "fat": 60 qids, with duplicate source rows for some qids
+    for i in range(60):
+        mc_rows.append(("fat", f"Q{i + 1}", (i * 7) % 13 + 1))
+        if i % 5 == 0:
+            mc_rows.append(("fat", f"Q{i + 1}", 2))  # dup (mention,qid)
+    # case-variant surface: exact probe hits "Fat", lowered hits "fat"
+    mc_rows.append(("Fat", "Q1", 100))
+    mc = spark.createDataFrame(mc_rows, "mention string, qid string, cnt long")
+    mentions = spark.createDataFrame(
+        [("m1", "fat"), ("m2", "Fat"), ("m3", "miss")],
+        "mention_id string, text string")
+
+    old = generate_candidates(mentions, mc, max_candidates=10).select(
+        "mention_id", "qid", "cnt", "cand_rank")
+    wc = attach_candidates(mentions, mc, max_candidates=10)
+    new = wc.select(
+        "mention_id", F.posexplode("candidates").alias("_r0", "_c")
+    ).select("mention_id", F.col("_c.qid").alias("qid"),
+             F.col("_c.cnt").alias("cnt"),
+             (F.col("_r0") + 1).alias("cand_rank"))
+    o = sorted(tuple(r) for r in old.collect())
+    n = sorted(tuple(r) for r in new.collect())
+    assert o == n
+    assert len(n) > 0
