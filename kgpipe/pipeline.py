@@ -345,13 +345,15 @@ def run_pipeline(
         #   operator whole-stage-codegen'd). The in-row per-row
         #   higher-order expressions are INTERPRETED and their cost
         #   scales with fan-out k: at the scaling fixture's 84
-        #   qids/surface (k≈168 entries after the two probes) even an
-        #   O(k log k) in-row merge costs ~1 ms/mention in interpreted
-        #   lambda evaluations, grinding a 2-core standalone leg
-        #   indefinitely (jstack: ArrayFilter inside ArrayAggregate)
-        #   where the join shape runs the same leg in ~11 min.
-        #   Parallelism and codegen must come from the plan, not from
-        #   per-row array programming (guide §2.5, §4).
+        #   qids/surface (k≈168 entries after the two probes) the
+        #   original O(k²) merge ground a 2-core standalone leg
+        #   indefinitely (jstack: ArrayFilter inside ArrayAggregate),
+        #   and even the linear merge — interpreted sort-comparator
+        #   lambdas, ~k·log k evals/mention — blew past a 10-minute
+        #   local[8] budget on 1.2M turns where this join shape
+        #   finishes the whole pipeline in 232 s. Parallelism and
+        #   codegen must come from the plan, not from per-row array
+        #   programming (guide §2.5, §4).
         fanout = fanout_future.result()
         if fanout <= IN_ROW_MAX_FANOUT:
             from kgpipe.linking import score_hypotheses_inrow
