@@ -206,3 +206,21 @@ def test_checkpoint_gc_retains_parent(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "v000001"))
     assert os.path.exists(os.path.join(path, "v000002"))
     assert [r["k"] for r in load_stage(spark, path).collect()] == [3]
+
+
+def test_linking_branch_equivalence(spark, fixture_set, monkeypatch):
+    """The fan-out-adaptive linking must produce identical triples on
+    BOTH branches: the fixture's fan-out (5) picks the join/groupBy
+    path by default; forcing the threshold up picks the in-row path.
+    Exact triple-set equality, not just P/R."""
+    from kgpipe import pipeline as P
+
+    res_join = _run(spark, fixture_set)
+    t_join = {(r["subj"], r["pred"], r["obj"])
+              for r in res_join["triples"].collect()}
+    monkeypatch.setattr(P, "IN_ROW_MAX_FANOUT", 10_000)
+    res_inrow = _run(spark, fixture_set)
+    t_inrow = {(r["subj"], r["pred"], r["obj"])
+               for r in res_inrow["triples"].collect()}
+    assert t_join == t_inrow
+    assert len(t_join) > 0
